@@ -1,0 +1,590 @@
+"""DOM-lite TEI → record parser (the replaced GROBID+lxml surface).
+
+Fresh implementation on stdlib ``xml.etree.ElementTree`` with exact
+behavioural parity to the reference's ``paperslicer/grobid/parser.py``
+(``tei_to_record`` :213-483 and helpers :12-210). Parity is asserted
+by golden tests (``tests/test_tei_parser.py``) that compare against
+output frozen from the reference module itself.
+
+This module is pure Python and batch-friendly: it is invoked from an
+Arrow-batched ``mapInPandas`` stage (see ``operators/extract.py``),
+never per-row from the driver. lxml is intentionally not used —
+``ElementTree.itertext()`` has identical semantics for well-formed
+XML, and stdlib keeps executor Python workers dependency-free.
+"""
+
+from __future__ import annotations
+
+import re
+from bisect import bisect_left
+from typing import Any, Dict, List, Optional
+from xml.etree import ElementTree as ET
+
+from paperslicer_spark.functions.sections import (
+    canonical_section_name,
+    canonical_keys,
+    non_content_keys,
+)
+
+TEI_NS = "http://www.tei-c.org/ns/1.0"
+XML_ID = "{http://www.w3.org/XML/1998/namespace}id"
+
+
+def T(tag: str) -> str:
+    return "{%s}%s" % (TEI_NS, tag)
+
+
+def normalize_space(text: str) -> str:
+    """Collapse all Unicode whitespace runs to single spaces, strip ends.
+
+    Must keep Python ``str.split()`` semantics (splits on e.g. NBSP-like
+    controls that Java regex ``\\s`` does not) — reference
+    ``parser.py:12-13``. Do not replace with a JVM regexp.
+    """
+    return " ".join(text.split())
+
+
+def _txt(el: Optional[ET.Element]) -> str:
+    if el is None:
+        return ""
+    return normalize_space(" ".join(el.itertext()))
+
+
+def _child(el: ET.Element, tag: str) -> Optional[ET.Element]:
+    return el.find(T(tag))
+
+
+def _desc(el: ET.Element, tag: str) -> List[ET.Element]:
+    """Descendants (excluding self) with the given TEI tag, doc order."""
+    out = list(el.iter(T(tag)))
+    if out and out[0] is el:
+        out = out[1:]
+    return out
+
+
+class _Doc:
+    """Indexes over one parsed document: parents + document order + pb pages."""
+
+    def __init__(self, root: ET.Element):
+        self.root = root
+        self.parent: Dict[int, ET.Element] = {}
+        self.order: Dict[int, int] = {}
+        pb_pos: List[int] = []
+        pb_page: List[Optional[int]] = []
+        for i, el in enumerate(root.iter()):
+            self.order[id(el)] = i
+            for c in el:
+                self.parent[id(c)] = el
+            if el.tag == T("pb"):
+                n = el.get("n")
+                page = int(str(n).strip()) if n and str(n).strip().isdigit() else None
+                pb_pos.append(i)
+                pb_page.append(page)
+        self._pb_pos = pb_pos
+        self._pb_page = pb_page
+        self._zones: Dict[str, ET.Element] = {
+            z.get(XML_ID): z for z in root.iter(T("zone")) if z.get(XML_ID)
+        }
+
+    def nearest_preceding_page(self, el: ET.Element) -> Optional[int]:
+        """Page number of the nearest preceding ``<pb n=...>`` milestone."""
+        i = self.order.get(id(el))
+        if i is None:
+            return None
+        k = bisect_left(self._pb_pos, i) - 1
+        if k < 0:
+            return None
+        return self._pb_page[k]
+
+    def zone(self, zone_id: str) -> Optional[ET.Element]:
+        return self._zones.get(zone_id)
+
+
+_COORD_SPLIT = re.compile(r"[;,\s]+")
+
+
+def coords_with_page(doc: _Doc, el: ET.Element, coords: Optional[str]) -> Optional[str]:
+    """Normalize a coords attribute to ``"page,x,y,w,h"``.
+
+    Quirk preserved from the reference (``parser.py:146-171``): with ≥5
+    numbers the first is int-formatted and the rest keep ``str(float)``
+    formatting; with 4 numbers the nearest preceding page is prefixed.
+    """
+    if not coords:
+        return None
+    nums: List[float] = []
+    for p in _COORD_SPLIT.split(coords.strip()):
+        if not p:
+            continue
+        try:
+            nums.append(float(p))
+        except ValueError:
+            pass
+    if len(nums) >= 5:
+        return ",".join(
+            [str(int(nums[0]))] + [str(nums[i]) for i in range(1, 5)]
+        )
+    if len(nums) >= 4:
+        page = doc.nearest_preceding_page(el)
+        if page is not None:
+            x, y, w, h = nums[:4]
+            return f"{page},{x},{y},{w},{h}"
+    return None
+
+
+def coords_from_facs(doc: _Doc, el: ET.Element) -> Optional[str]:
+    """Resolve ``facs="#zoneId"`` → zone in a ``<surface n=page>``."""
+    try:
+        facs = el.get("facs")
+        if not facs or not facs.startswith("#"):
+            return None
+        zone = doc.zone(facs[1:])
+        if zone is None:
+            return None
+        surface = doc.parent.get(id(zone))
+        if surface is None or not surface.tag.endswith("surface"):
+            return None
+        page_n = surface.get("n")
+        page = int(str(page_n)) if page_n and str(page_n).strip().isdigit() else None
+        ulx = float(zone.get("ulx"))
+        uly = float(zone.get("uly"))
+        lrx = float(zone.get("lrx"))
+        lry = float(zone.get("lry"))
+        w = max(0.0, lrx - ulx)
+        h = max(0.0, lry - uly)
+        if page is not None:
+            return f"{page},{ulx},{uly},{w},{h}"
+        return None
+    except (TypeError, ValueError):
+        return None
+
+
+_FIG_LABEL = re.compile(r"(?i)\bfig(?:ure)?\s*([A-Za-z0-9IVXLC]+)")
+_TAB_LABEL = re.compile(r"(?i)\btab(?:le)?\s*([A-Za-z0-9IVXLC]+)")
+_INT_TOKEN = re.compile(r"\d{1,3}")
+
+
+def normalize_label(kind: str, raw_label: Optional[str], head_text: str,
+                    caption_text: str) -> Optional[str]:
+    """Derive ``"Figure N"`` / ``"Table N"`` from head/caption/raw label.
+
+    Mirrors reference ``parser.py:95-128`` including the preference
+    order (head, then caption, then bare numeric raw label, then a
+    number-free fallback when a head exists).
+    """
+    kind_lc = (kind or "").strip().lower()
+    pat = _FIG_LABEL if kind_lc == "figure" else _TAB_LABEL if kind_lc == "table" else None
+    head = (head_text or "").strip()
+    cap = (caption_text or "").strip()
+    if pat is not None:
+        for s in (head, cap):
+            m = pat.search(s)
+            if m:
+                num = m.group(1).strip().rstrip(".:)")
+                return f"{kind_lc.capitalize()} {num}"
+    rl = (raw_label or "").strip()
+    if _INT_TOKEN.fullmatch(rl):
+        return f"{kind_lc.capitalize()} {rl}"
+    if kind_lc == "figure" and head:
+        return "Figure"
+    if kind_lc == "table" and head:
+        return "Table"
+    return None
+
+
+def _extract_affiliation(author_el: ET.Element) -> Optional[str]:
+    """Per-author affiliation assembly with order-sensitive dedup
+    (reference ``parser.py:31-76``)."""
+    aff_nodes = [c for c in author_el if c.tag == T("affiliation")]
+    if not aff_nodes:
+        return None
+    aff_texts: List[str] = []
+    for aff in aff_nodes:
+        parts: List[str] = []
+        seen_local = set()
+
+        def add_part(value: Optional[str]) -> None:
+            if not value:
+                return
+            norm = normalize_space(value)
+            if not norm:
+                return
+            key = norm.lower()
+            if key in seen_local:
+                return
+            seen_local.add(key)
+            parts.append(norm)
+
+        for org in _desc(aff, "orgName"):
+            add_part(_txt(org))
+        for addr in _desc(aff, "address"):
+            for node in addr.iter():
+                if node is addr or node.tag == T("label"):
+                    continue
+                add_part(_txt(node))
+        if not parts:
+            add_part(normalize_space(" ".join(aff.itertext())))
+        if parts:
+            aff_texts.append(", ".join(parts))
+
+    unique: List[str] = []
+    seen = set()
+    for text in aff_texts:
+        key = text.lower()
+        if key in seen:
+            continue
+        seen.add(key)
+        unique.append(text)
+    return "; ".join(unique) if unique else None
+
+
+def _find_all(root: ET.Element, outer: str, inner: str) -> List[ET.Element]:
+    """All `inner` descendants under any `outer` descendant, doc order."""
+    out: List[ET.Element] = []
+    for o in root.iter(T(outer)):
+        out.extend(_desc(o, inner))
+    return out
+
+
+def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
+    """Parse a TEI document into the reference record dict shape.
+
+    Returns exactly ``PaperRecord.to_dict()`` of the reference for the
+    same input: ``{meta, sections, other_sections, figures, tables,
+    references}`` with identical key presence, text, ordering and quirks
+    (abstract trailing space, ``"\\n\\n"`` joins, first-wins dedups).
+    """
+    if isinstance(tei_xml, bytes):
+        root = ET.fromstring(tei_xml)
+    else:
+        root = ET.fromstring(tei_xml)
+    doc = _Doc(root)
+
+    # ---- meta -------------------------------------------------------
+    header = next(iter(root.iter(T("teiHeader"))), None)
+
+    def _h_first(path_tags: List[str]) -> Optional[ET.Element]:
+        """First element matching a //-style descendant chain under teiHeader."""
+        if header is None:
+            return None
+        nodes = [header]
+        for tag in path_tags:
+            nxt: List[ET.Element] = []
+            for n in nodes:
+                nxt.extend(_desc(n, tag))
+            if not nxt:
+                return None
+            nodes = nxt
+        return nodes[0]
+
+    ts = _h_first(["titleStmt"])
+    title = _txt(_child(ts, "title")) if ts is not None else ""
+
+    doi = ""
+    journal = ""
+    authors: List[Dict[str, Optional[str]]] = []
+    src = _h_first(["sourceDesc"])
+    if src is not None:
+        bibls = _desc(src, "biblStruct")
+        if bibls:
+            # //sourceDesc//biblStruct//idno[@type='DOI'] — first in doc order
+            for b in bibls:
+                for idno in _desc(b, "idno"):
+                    if idno.get("type") == "DOI":
+                        doi = _txt(idno)
+                        break
+                if doi:
+                    break
+            # //sourceDesc//biblStruct/monogr/title
+            for b in bibls:
+                mono = _child(b, "monogr")
+                if mono is not None:
+                    jt = _child(mono, "title")
+                    if jt is not None:
+                        journal = _txt(jt)
+                        break
+            # //sourceDesc//biblStruct/analytic/author
+            for b in bibls:
+                ana = _child(b, "analytic")
+                if ana is None:
+                    continue
+                for a in ana.findall(T("author")):
+                    pers = _child(a, "persName")
+                    name = _txt(pers)
+                    if not name:
+                        surname = pers.find(T("surname")) if pers is not None else None
+                        if surname is not None:
+                            forename = pers.find(T("forename"))
+                            name = _txt(surname) + ", " + _txt(forename)
+                        else:
+                            name = ""
+                    name = normalize_space(name) if name else ""
+                    name_val = name or None
+                    aff = _extract_affiliation(a)
+                    if not name_val and not aff:
+                        continue
+                    authors.append({"name": name_val, "affiliation": aff})
+
+    meta: Dict[str, Any] = {
+        "source_path": source_path,
+        "title": title or None,
+        "journal": journal or None,
+        "doi": doi or None,
+        "authors": authors,
+        "keywords": [],
+    }
+
+    # ---- sections by body div/head ----------------------------------
+    sections: Dict[str, str] = {}
+    other_sections: Dict[str, str] = {}
+    CANON = canonical_keys()
+    NON_CONTENT = non_content_keys()
+    text_el = next(iter(root.iter(T("text"))), None)
+    body = _child(text_el, "body") if text_el is not None else None
+    divs = list(body.iter(T("div"))) if body is not None else []
+    for div in divs:
+        head = _txt(_child(div, "head"))
+        if not head:
+            continue
+        key = canonical_section_name(head)
+        if key in {"references", "bibliography"} or key in NON_CONTENT:
+            continue
+        if key.startswith("fig.") or key.startswith("table"):
+            continue
+        content_texts: List[str] = []
+        for node in div.iter():
+            if node.tag in (T("p"), T("ab")):
+                t = _txt(node)
+                if t:
+                    content_texts.append(t)
+        body_text = normalize_space("\n\n".join(content_texts))
+        if not body_text:
+            continue
+        if key in CANON:
+            if key in sections:
+                sections[key] += "\n\n" + body_text
+            else:
+                sections[key] = body_text
+        else:
+            if head in other_sections:
+                other_sections[head] += "\n\n" + body_text
+            else:
+                other_sections[head] = body_text
+
+    # ---- header abstract (body div named "abstract" wins) -----------
+    if header is not None:
+        for prof in _desc(header, "profileDesc"):
+            abs_el = _child(prof, "abstract")
+            if abs_el is not None:
+                abs_txt = _txt(abs_el)
+                if abs_txt:
+                    sections.setdefault("abstract", abs_txt)
+                break
+
+    # ---- keywords + abstract-append quirk ----------------------------
+    keywords: List[str] = []
+    if header is not None:
+        for prof in _desc(header, "profileDesc"):
+            for tc in _desc(prof, "textClass"):
+                for kws in _desc(tc, "keywords"):
+                    for term in _desc(kws, "term"):
+                        kw = _txt(term)
+                        if kw:
+                            keywords.append(kw)
+    if keywords:
+        uniq: List[str] = []
+        seen_kw = set()
+        for kw in keywords:
+            norm_kw = normalize_space(kw)
+            k = norm_kw.lower()
+            if not norm_kw or k in seen_kw:
+                continue
+            seen_kw.add(k)
+            uniq.append(norm_kw)
+        keywords = uniq
+    if keywords:
+        meta["keywords"] = keywords
+        kw_text = ", ".join(keywords).strip()
+        if kw_text:
+            existing_abs = sections.get("abstract", "").rstrip()
+            if existing_abs:
+                sections["abstract"] = f"{existing_abs} {kw_text} "
+            else:
+                sections["abstract"] = f"{kw_text} "
+
+    # ---- figures and tables ------------------------------------------
+    figures: List[Dict[str, Any]] = []
+    tables: List[Dict[str, Any]] = []
+    fig_seen = set()
+    tab_seen = set()
+
+    figs = _desc(text_el, "figure") if text_el is not None else []
+    for fig in figs:
+        ftype = (fig.get("type") or "").strip().lower()
+        label_raw = _txt(_child(fig, "label"))
+        head_text = _txt(_child(fig, "head"))
+        caption_text = _txt(_child(fig, "figDesc")) or head_text
+        coords = None
+        graphics = _desc(fig, "graphic")
+        if graphics:
+            coords = coords_with_page(doc, fig, graphics[0].get("coords"))
+        if not coords:
+            coords = coords_from_facs(doc, fig)
+
+        kind = "table" if ftype == "table" else "figure"
+        label = normalize_label(kind, label_raw, head_text, caption_text)
+        if not (caption_text or label):
+            continue
+        key = label or caption_text or ""
+        entry = {
+            "label": label or None,
+            "caption": caption_text or None,
+            "path": None,
+            "source": "tei",
+            "coords": coords,
+        }
+        if kind == "table":
+            if key not in tab_seen:
+                tables.append(entry)
+                tab_seen.add(key)
+        else:
+            if key not in fig_seen:
+                figures.append(entry)
+                fig_seen.add(key)
+
+    tabs = _desc(text_el, "table") if text_el is not None else []
+    for tab in tabs:
+        head_el = _child(tab, "head")
+        label_raw = (_txt(_child(head_el, "label")) if head_el is not None else "") or None
+        head_text = _txt(head_el)
+        caption = head_text
+        label = normalize_label("table", label_raw, head_text, caption)
+        coords = None
+        graphics = _desc(tab, "graphic")
+        if graphics:
+            coords = coords_with_page(doc, tab, graphics[0].get("coords"))
+        if not coords:
+            coords = coords_from_facs(doc, tab)
+        if caption or label:
+            key = label or caption or ""
+            if key not in tab_seen:
+                tables.append({
+                    "label": label or None,
+                    "caption": caption or None,
+                    "path": None,
+                    "source": "tei",
+                    "coords": coords,
+                })
+                tab_seen.add(key)
+
+    # ---- fallback tables: A) <ref type="table"> anchors ---------------
+    existing_labels = {t.get("label") for t in tables if t.get("label")}
+    refs = _desc(text_el, "ref") if text_el is not None else []
+    for ref in refs:
+        if ref.get("type") != "table":
+            continue
+        num = _txt(ref)
+        if not num:
+            continue
+        label = f"Table {num}"
+        if label in existing_labels:
+            continue
+        par = doc.parent.get(id(ref))
+        while par is not None and par.tag != T("p"):
+            par = doc.parent.get(id(par))
+        caption = None
+        if par is not None:
+            ptxt = _txt(par)
+            m = re.search(r"(?i)\btable\s*" + re.escape(num) + r"\s*[:\.\-]\s*(.+)", ptxt)
+            if m:
+                caption = m.group(1).strip()
+            else:
+                caption = re.sub(r"(?i)\btable\s*" + re.escape(num) + r"\b", "", ptxt).strip()
+        tables.append({
+            "label": label,
+            "caption": caption or None,
+            "path": None,
+            "source": "tei-ref",
+        })
+        existing_labels.add(label)
+
+    # ---- fallback tables: B) "Table 2. ..." paragraphs ----------------
+    paras = _desc(text_el, "p") if text_el is not None else []
+    for p in paras:
+        t = _txt(p)
+        if not t:
+            continue
+        m = re.match(r"(?is)^table\s+([A-Za-z0-9IVXLC]+)\s*[:\.\-]\s*(.+)", t.strip())
+        if not m:
+            continue
+        label = f"Table {m.group(1)}"
+        if label in existing_labels:
+            continue
+        tables.append({
+            "label": label,
+            "caption": m.group(2).strip() or None,
+            "path": None,
+            "source": "tei-text",
+        })
+        existing_labels.add(label)
+
+    # ---- references ---------------------------------------------------
+    references: List[Dict[str, Any]] = []
+    back = _child(text_el, "back") if text_el is not None else None
+    bibl_structs: List[ET.Element] = []
+    if back is not None:
+        for lb in _desc(back, "listBibl"):
+            bibl_structs.extend(lb.findall(T("biblStruct")))
+    for idx, bibl in enumerate(bibl_structs, start=1):
+        ref_id = bibl.get(XML_ID)
+        title_r = ""
+        ana = _child(bibl, "analytic")
+        if ana is not None:
+            for t_el in ana.findall(T("title")):
+                if t_el.get("type") == "main":
+                    title_r = _txt(t_el)
+                    break
+        if not title_r:
+            mono = _child(bibl, "monogr")
+            if mono is not None:
+                title_r = _txt(_child(mono, "title"))
+        doi_r = ""
+        for idno in _desc(bibl, "idno"):
+            if idno.get("type") == "DOI":
+                doi_r = _txt(idno)
+                break
+        year = ""
+        for d in _desc(bibl, "date"):
+            if d.get("type") == "published":
+                year = _txt(d)
+                break
+        auths: List[str] = []
+        if ana is not None:
+            for a in ana.findall(T("author")):
+                nm = _txt(a)
+                if nm:
+                    auths.append(nm)
+        citation = normalize_space(" ".join(bibl.itertext()))
+        entry: Dict[str, Any] = {"index": idx}
+        if citation:
+            entry["text"] = citation
+        if ref_id:
+            entry["id"] = ref_id
+        if title_r:
+            entry["title"] = title_r
+        if doi_r:
+            entry["doi"] = doi_r
+        if year:
+            entry["year"] = year
+        if auths:
+            entry["authors"] = auths
+        references.append(entry)
+
+    return {
+        "meta": meta,
+        "sections": sections,
+        "other_sections": other_sections,
+        "figures": figures,
+        "tables": tables,
+        "references": references,
+    }

@@ -1,0 +1,120 @@
+"""DOM-lite parser parity vs the reference (executable oracle).
+
+The reference's ``tei_to_record`` runs through the lxml shim on
+identical inputs; records must match byte-for-byte as JSON (including
+the abstract trailing-space quirk, "\\n\\n" appends, coords float
+formatting, first-wins dedups).
+"""
+
+import json
+
+import pytest
+
+from paperslicer_spark.extraction.tei import parse_tei
+from paperslicer_spark.sources.transcripts import (
+    assemble_payload,
+    build_document,
+)
+
+BASIC_TEI = """
+<TEI xmlns="http://www.tei-c.org/ns/1.0">
+  <teiHeader>
+    <fileDesc>
+      <titleStmt><title>Sample Title</title></titleStmt>
+      <sourceDesc><biblStruct>
+        <analytic>
+          <author><persName><forename>A</forename><surname>B</surname></persName></author>
+        </analytic>
+        <monogr><title>Journal Name</title></monogr>
+        <idno type="DOI">10.1234/abc</idno>
+      </biblStruct></sourceDesc>
+    </fileDesc>
+    <profileDesc><abstract>This is an abstract in the TEI.</abstract></profileDesc>
+  </teiHeader>
+  <text><body>
+    <div><head>Introduction</head><p>Intro content.</p></div>
+    <div><head>Methods</head><p>Method content.</p></div>
+    <div><head>Results</head><p>Results content.</p></div>
+    <div><head>Conclusion</head><p>Conclusion content.</p></div>
+    <figure><label>Fig 1</label><figDesc>Figure 1 desc.</figDesc></figure>
+    <table><head><label>Table 1</label> Table 1 desc.</head></table>
+  </body></text>
+</TEI>
+"""
+
+FALLBACK_TEI = """
+<TEI xmlns="http://www.tei-c.org/ns/1.0">
+  <teiHeader><fileDesc><titleStmt><title>T</title></titleStmt></fileDesc></teiHeader>
+  <text><body><div>
+    <p>Table 2. Caption for two.</p>
+    <p>As shown in Table <ref type="table">3</ref>, values increased.</p>
+  </div></body></text>
+</TEI>
+"""
+
+OTHER_TEI = """
+<TEI xmlns="http://www.tei-c.org/ns/1.0">
+  <teiHeader><fileDesc><titleStmt><title>T</title></titleStmt></fileDesc></teiHeader>
+  <text><body>
+    <div><head>Novel Protocol</head><p>Details of a unique protocol not in mapping.</p></div>
+  </body></text>
+</TEI>
+"""
+
+
+def test_basic_mapping_behaviour():
+    rec = parse_tei(BASIC_TEI, source_path="/path/to/file.pdf")
+    assert rec["meta"]["title"] == "Sample Title"
+    assert rec["meta"]["journal"] == "Journal Name"
+    assert rec["meta"]["doi"] == "10.1234/abc"
+    # plain text, no markup (the reference's own assertion here is
+    # self-contradictory — its fixture abstract contains the word "TEI")
+    assert rec["sections"]["abstract"] == "This is an abstract in the TEI."
+    for k in ("introduction", "materials_and_methods", "results", "conclusions"):
+        assert k in rec["sections"]
+    assert len(rec["figures"]) >= 1
+    assert len(rec["tables"]) >= 1
+
+
+def test_fallback_table_detection():
+    rec = parse_tei(FALLBACK_TEI, source_path="/p.pdf")
+    labels = {t.get("label") for t in rec["tables"]}
+    assert "Table 2" in labels
+    assert "Table 3" in labels
+
+
+def test_other_sections_capture():
+    rec = parse_tei(OTHER_TEI, source_path="/p.pdf")
+    assert "Novel Protocol" in rec["other_sections"]
+    assert "unique protocol" in rec["other_sections"]["Novel Protocol"].lower()
+
+
+@pytest.mark.parametrize("tei", [BASIC_TEI, FALLBACK_TEI, OTHER_TEI],
+                         ids=["basic", "fallback", "other"])
+def test_fixture_parity(reference_modules, tei):
+    ref_parser, _, _ = reference_modules
+    ref = ref_parser.tei_to_record(tei.encode("utf-8"), pdf_path="/p.pdf").to_dict()
+    mine = parse_tei(tei, source_path="/p.pdf")
+    assert json.dumps(mine, sort_keys=True) == json.dumps(ref, sort_keys=True)
+
+
+def test_corpus_parity(reference_modules):
+    """Byte-exact record parity over the full synthetic corpus."""
+    ref_parser, _, _ = reference_modules
+    mismatches = []
+    for doc_idx in range(60):
+        payload = assemble_payload(build_document(doc_idx, seed=42))
+        ref = ref_parser.tei_to_record(payload.encode("utf-8"),
+                                       pdf_path=f"conv{doc_idx:08d}").to_dict()
+        mine = parse_tei(payload, source_path=f"conv{doc_idx:08d}")
+        if json.dumps(mine, sort_keys=True) != json.dumps(ref, sort_keys=True):
+            mismatches.append(doc_idx)
+    assert not mismatches, f"record mismatch for docs {mismatches}"
+
+
+def test_corpus_parity_skewed(reference_modules):
+    ref_parser, _, _ = reference_modules
+    payload = assemble_payload(build_document(0, seed=42, size_mult=30))
+    ref = ref_parser.tei_to_record(payload.encode("utf-8"), pdf_path="x").to_dict()
+    mine = parse_tei(payload, source_path="x")
+    assert json.dumps(mine, sort_keys=True) == json.dumps(ref, sort_keys=True)
