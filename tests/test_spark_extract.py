@@ -1,0 +1,182 @@
+"""Spark end-to-end: transcripts → assembled docs → records → views.
+
+Correctness gates:
+- assembled payloads equal the generator's reference assembly rule;
+- salted and unsalted assembly produce identical payloads;
+- per-document records from the Spark pipeline match the reference
+  extractor byte-for-byte (sections/meta/figures/tables/references);
+- per-turn span invariant: ``clean_text == turn_clean[start:end]``;
+- span unit texts appear verbatim in the document-level record.
+"""
+
+import json
+
+import pytest
+
+from paperslicer_spark.operators.assemble import assemble_documents
+from paperslicer_spark.operators.extract import (
+    parse_documents,
+    sections_long,
+    media_long,
+    references_long,
+)
+from paperslicer_spark.operators.spans import extract_turn_spans, clean_turns
+from paperslicer_spark.sources.transcripts import (
+    assemble_payload,
+    build_document,
+    doc_turn_rows,
+)
+
+N_DOCS = 40
+
+
+@pytest.fixture(scope="module")
+def turns(spark, corpus_path):
+    return spark.read.parquet(corpus_path)
+
+
+@pytest.fixture(scope="module")
+def expected_payloads():
+    out = {}
+    for i in range(N_DOCS):
+        rows = doc_turn_rows(i, seed=42, skew_every=13, skew_mult=8)
+        out[rows[0]["conv_id"]] = assemble_payload([r["text"] for r in rows])
+    return out
+
+
+def test_assembly_matches_reference_rule(turns, expected_payloads):
+    got = {r["conv_id"]: r["payload"]
+           for r in assemble_documents(turns).collect()}
+    assert got == expected_payloads
+
+
+def test_salted_assembly_identical(turns, expected_payloads):
+    got = {r["conv_id"]: r["payload"]
+           for r in assemble_documents(turns, salt_blocks=4).collect()}
+    assert got == expected_payloads
+
+
+def test_record_parity_spark_vs_reference(spark, turns, reference_modules):
+    """The flagship gate: Spark-extracted records equal the reference."""
+    ref_parser, _, _ = reference_modules
+    from paperslicer_spark.extraction.merge import merge_table_entries
+
+    docs = assemble_documents(turns, salt_blocks=8)
+    records = parse_documents(docs, merge_tables=True, review_mode=False)
+    rows = {r["conv_id"]: r.asDict(recursive=True) for r in records.collect()}
+    assert len(rows) == N_DOCS
+    assert all(r["status"] == "ok" for r in rows.values())
+
+    for i in range(N_DOCS):
+        conv_id = f"conv{i:08d}"
+        payload = assemble_payload(
+            [t["text"] for t in doc_turn_rows(i, seed=42, skew_every=13,
+                                              skew_mult=8)])
+        ref = ref_parser.tei_to_record(payload.encode("utf-8"),
+                                       pdf_path=conv_id).to_dict()
+        # same postprocessing order as the engine (merge tables)
+        class _R:  # duck-typed holder for the reference merge input
+            pass
+        merge_table_entries(ref)
+        got = rows[conv_id]
+        assert got["title"] == ref["meta"]["title"], conv_id
+        assert got["journal"] == ref["meta"]["journal"]
+        assert got["doi"] == ref["meta"]["doi"]
+        assert got["keywords"] == ref["meta"]["keywords"]
+        assert [(a["name"], a["affiliation"]) for a in got["authors"]] == \
+            [(a["name"], a["affiliation"]) for a in ref["meta"]["authors"]]
+        assert got["sections"] == ref["sections"], conv_id
+        assert [(o["head"], o["text"]) for o in got["other_sections"]] == \
+            list(ref["other_sections"].items())
+        for kind in ("figures", "tables"):
+            mine = [(m["label"], m["caption"], m["source"], m["coords"])
+                    for m in got[kind]]
+            want = [(m.get("label"), m.get("caption"), m.get("source"),
+                     m.get("coords")) for m in ref[kind]]
+            assert mine == want, (conv_id, kind)
+        mine_refs = [(r["index"], r["text"], r["id"], r["title"], r["doi"],
+                      r["year"], r["authors"] or None) for r in got["references"]]
+        want_refs = [(r.get("index"), r.get("text"), r.get("id"),
+                      r.get("title"), r.get("doi"), r.get("year"),
+                      r.get("authors")) for r in ref["references"]]
+        assert mine_refs == want_refs, conv_id
+
+
+def test_review_profile_parity(spark, turns, reference_modules):
+    """review_mode=None applies the R1 heuristic; compare against the
+    reference review module applied to reference-parsed records."""
+    ref_parser, _, ref_review = reference_modules
+
+    docs = assemble_documents(turns)
+    records = parse_documents(docs, merge_tables=False, review_mode=None)
+    rows = {r["conv_id"]: r.asDict(recursive=True) for r in records.collect()}
+
+    applied = 0
+    for i in range(N_DOCS):
+        conv_id = f"conv{i:08d}"
+        payload = assemble_payload(
+            [t["text"] for t in doc_turn_rows(i, seed=42, skew_every=13,
+                                              skew_mult=8)])
+        rec = ref_parser.tei_to_record(payload.encode("utf-8"), pdf_path=conv_id)
+        if ref_review.should_apply(rec):
+            rec = ref_review.apply(rec)
+            applied += 1
+        assert rows[conv_id]["sections"] == rec.sections, conv_id
+    assert applied > 0, "corpus must include review-profile documents"
+
+
+def test_error_row_model(spark):
+    docs = spark.createDataFrame(
+        [("c1", "<TEI xmlns='http://www.tei-c.org/ns/1.0'><text><body/></text></TEI>"),
+         ("c2", "this is not xml at all <<<")],
+        "conv_id string, payload string")
+    out = {r["conv_id"]: r for r in parse_documents(docs).collect()}
+    assert out["c1"]["status"] == "ok"
+    assert out["c2"]["status"] == "error"
+    assert out["c2"]["error"]
+
+
+def test_span_invariant(spark, turns):
+    s = extract_turn_spans(turns).withColumnRenamed("clean_text", "unit_text")
+    c = clean_turns(turns).withColumnRenamed("clean_text", "turn_text")
+    j = s.join(c, ["conv_id", "turn_idx"]).collect()
+    assert j, "no spans extracted"
+    for r in j:
+        assert r["unit_text"] == r["turn_text"][r["char_start"]:r["char_end"]]
+
+
+def test_spans_cover_section_content(spark, turns, reference_modules):
+    """Every canonical section's text in the document record is composed
+    of span unit texts (joined per reference A1 semantics)."""
+    ref_parser, _, _ = reference_modules
+    spans = extract_turn_spans(turns)
+    paras = [r.asDict() for r in
+             spans.filter("kind = 'para'").orderBy("conv_id", "turn_idx",
+                                                   "unit_idx").collect()]
+    by_conv = {}
+    for p in paras:
+        by_conv.setdefault(p["conv_id"], []).append(p["clean_text"])
+    payload0 = assemble_payload(
+        [t["text"] for t in doc_turn_rows(0, seed=42, skew_every=13,
+                                          skew_mult=8)])
+    rec = ref_parser.tei_to_record(payload0.encode("utf-8"), pdf_path="x")
+    all_para_text = " ".join(by_conv["conv00000000"])
+    for key, text in rec.sections.items():
+        if key == "abstract":
+            continue  # abstract comes from the header, not body paras
+        for piece in text.split("\n\n"):
+            assert piece in all_para_text, (key, piece[:60])
+
+
+def test_exploded_views(spark, turns):
+    docs = assemble_documents(turns)
+    records = parse_documents(docs).cache()
+    sl = sections_long(records)
+    assert sl.filter("is_canonical").count() > 0
+    assert sl.filter("NOT is_canonical").count() > 0
+    ml = media_long(records)
+    assert ml.filter("kind = 'table'").count() > 0
+    assert ml.filter("coords IS NOT NULL").count() > 0
+    rl = references_long(records)
+    assert rl.filter("doi IS NOT NULL").count() > 0
+    records.unpersist()
