@@ -1,38 +1,618 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline on sf0.001.
+``queries()`` — one entry per implemented operator family
+(SURVEY.md §2 + the training-data-pipeline operators).
+``oracle_sql()`` — DuckDB-runnable ANSI-SQL twins. Extraction queries
+over synthesized transcripts have no SQL twin (the TEI parse is not
+SQL-expressible); their correctness gate is the pytest parity suite
+against the reference extractor (tests/test_tei_parser.py,
+tests/test_spark_extract.py).
+
+Portability rules used throughout (Spark ↔ DuckDB value-hash match):
+- money sums as exact integer cents, never float sums;
+- ratios rounded to fixed decimals;
+- ranks/sizes cast to bigint on the Spark side (DuckDB windows/counts
+  return BIGINT);
+- hashing via md5 (identical hex in both engines), 60-bit ints via
+  hex-prefix cast.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from paperslicer_spark.functions.sections import (
+    canonical_section_col,
+    exact_map,
+    methods_keywords,
+    intro_keywords,
+)
+from paperslicer_spark.functions import text_stats as TS
+from paperslicer_spark.operators import dedup as DD
+from paperslicer_spark.operators import similarity as SIM
+from paperslicer_spark.operators.assemble import assemble_documents
+from paperslicer_spark.operators.extract import (
+    parse_documents,
+    sections_long,
+    media_long,
+    references_long,
+)
+from paperslicer_spark.operators.spans import extract_turn_spans
+from paperslicer_spark.operators import metrics as MX
+from paperslicer_spark.sources.transcripts import transcripts_df
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs_as_transcripts(docs: DataFrame) -> DataFrame:
+    """Wrap the driver ``documents`` table as 2-turn TEI transcripts so
+    the extraction pipeline can run over driver-provided parquet."""
+    header = F.format_string(
+        "<teiHeader><fileDesc><titleStmt><title>Document %s</title></titleStmt>"
+        "<sourceDesc><biblStruct><monogr><title>%s</title></monogr>"
+        "<idno type=\"DOI\">10.7777/doc.%s</idno></biblStruct></sourceDesc>"
+        "</fileDesc></teiHeader>",
+        F.col("doc_id"), F.col("source"), F.col("doc_id"),
+    )
+    body = F.format_string(
+        "<div><head>Results</head><p>%s</p></div>", F.col("text"))
+    h = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"), F.lit("tool").alias("role"),
+        header.alias("text"), F.lit("gen").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    b = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(1).alias("turn_idx"), F.lit("tool").alias("role"),
+        body.alias("text"), F.lit("gen").alias("tool"),
+        F.lit("2025-01-01 00:00:01").cast("timestamp").alias("ts"),
+    )
+    return h.unionByName(b)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction over sf0.001 documents wrapped as
+    transcripts — assemble → parse → long-form sections."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    turns = _docs_as_transcripts(docs)
+    records = parse_documents(assemble_documents(turns, salt_blocks=64))
+    return sections_long(records).orderBy("conv_id", "section_label")
 
+
+# ---------------------------------------------------------------------------
+# synthetic transcripts for extraction queries (deterministic, no I/O)
+# ---------------------------------------------------------------------------
+
+_N_SYNTH = 24
+
+
+def _synth_turns(spark: SparkSession) -> DataFrame:
+    return transcripts_df(spark, _N_SYNTH, seed=42, skew_every=13,
+                          skew_mult=4, partitions=8)
+
+
+def _synth_records(spark: SparkSession) -> DataFrame:
+    return parse_documents(assemble_documents(_synth_turns(spark),
+                                              salt_blocks=16))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- relational core over TPC-H-ish tables (A5/A1/K2/W4/J1...) ----
+    def q01_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("sum_qty"),
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("sum_base_cents"),
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")).alias("sum_disc_cents"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.count("*").alias("count_order"),
+            )
+        )
+    q["q01_pricing_summary"] = q01_pricing_summary
+
+    def q02_top_orders_per_customer(spark, sf):
+        from pyspark.sql import Window
+        o = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        return (
+            o.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= 3)
+            .select("o_custkey", "o_orderkey", "rank")
+        )
+    q["q02_top_orders_per_customer"] = q02_top_orders_per_customer
+
+    def q03_first_wins_orders(spark, sf):
+        from pyspark.sql import Window
+        o = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        return (
+            o.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+        )
+    q["q03_first_wins_orders"] = q03_first_wins_orders
+
+    def q04_region_rollup(spark, sf):
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        return (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("acctbal_cents"),
+            )
+        )
+    q["q04_region_rollup"] = q04_region_rollup
+
+    def q05_priority_concat(spark, sf):
+        o = _t(spark, sf, "orders")
+        pairs = F.collect_list(F.struct("o_orderdate", "o_orderkey", "o_orderpriority"))
+        return (
+            o.groupBy("o_custkey")
+            .agg(
+                F.array_join(
+                    F.transform(F.array_sort(pairs), lambda s: s.getField("o_orderpriority")),
+                    "+",
+                ).alias("priority_seq")
+            )
+        )
+    q["q05_priority_concat"] = q05_priority_concat
+
+    def q06_exact_dup_docs(spark, sf):
+        return DD.exact_dup_groups(_t(spark, sf, "documents"), "doc_id", "text")
+    q["q06_exact_dup_docs"] = q06_exact_dup_docs
+
+    def q07_text_stats(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            TS.word_count(F.col("text")).cast("bigint").alias("words"),
+            TS.char_count(F.col("text")).cast("bigint").alias("chars"),
+            F.round(TS.avg_token_len(F.col("text")), 4).alias("avg_token_len"),
+            TS.fingerprint(F.col("text")).alias("fp"),
+        )
+    q["q07_text_stats"] = q07_text_stats
+
+    def q08_quality(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            F.round(TS.noise_ratio(F.col("text")), 6).alias("noise"),
+            F.round(TS.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+            TS.quality_score(F.col("text")).alias("quality"),
+            TS.lang_guess(F.col("text")).alias("lang_guess"),
+        )
+    q["q08_quality"] = q08_quality
+
+    def q09_lang_rates(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.select(TS.lang_guess(F.col("text")).alias("lang_guess"))
+            .groupBy("lang_guess").agg(F.count("*").alias("n"))
+        )
+    q["q09_lang_rates"] = q09_lang_rates
+
+    def q10_minhash(spark, sf):
+        return DD.minhash_signatures(_t(spark, sf, "documents"),
+                                     "doc_id", "text", n=3, num_hashes=4)
+    q["q10_minhash"] = q10_minhash
+
+    def q11_jaccard_pairs(spark, sf):
+        return DD.ngram_jaccard_pairs(_t(spark, sf, "documents"),
+                                      "doc_id", "text", n=3, threshold=0.2)
+    q["q11_jaccard_pairs"] = q11_jaccard_pairs
+
+    def q12_embedding_topk(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        res = SIM.brute_force_topk(e, e.where("vec_id < 8"), k=5)
+        return res.select("query_id", "neighbor_id",
+                          F.col("rank").cast("bigint").alias("rank"))
+    q["q12_embedding_topk"] = q12_embedding_topk
+
+    def q13_lsh_buckets(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        return (
+            e.select(SIM.sign_lsh_bucket(F.col("embedding"), 8).alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n"))
+        )
+    q["q13_lsh_buckets"] = q13_lsh_buckets
+
+    def q14_event_type_counts(spark, sf):
+        return (
+            _t(spark, sf, "events").groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"))
+        )
+    q["q14_event_type_counts"] = q14_event_type_counts
+
+    def q15_events_hourly(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(F.date_format(F.date_trunc("hour", F.col("ts")),
+                                     "yyyy-MM-dd HH:00:00").alias("hour"))
+            .agg(F.count("*").alias("n"))
+        )
+    q["q15_events_hourly"] = q15_events_hourly
+
+    def q16_sessionize(spark, sf):
+        from pyspark.sql import Window
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        return (
+            ev.withColumn("new_s", new_s)
+            .groupBy("user_id")
+            .agg(F.sum("new_s").cast("bigint").alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+        )
+    q["q16_sessionize"] = q16_sessionize
+
+    def q17_unordered_parts(spark, sf):
+        p = _t(spark, sf, "part")
+        li = _t(spark, sf, "lineitem")
+        return (
+            p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+            .agg(F.count("*").alias("n_unordered_parts"))
+        )
+    q["q17_unordered_parts"] = q17_unordered_parts
+
+    def q18_segment_top_customers(spark, sf):
+        from pyspark.sql import Window
+        c = _t(spark, sf, "customer")
+        w = Window.partitionBy("c_mktsegment").orderBy(
+            F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        return (
+            c.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .where("rank <= 5")
+            .select("c_mktsegment", "c_custkey", "rank",
+                    F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"))
+        )
+    q["q18_segment_top_customers"] = q18_segment_top_customers
+
+    def q19_canonical_headings(spark, sf):
+        probes = _heading_probes()
+        df = spark.createDataFrame([(p,) for p in probes], "head string")
+        return df.select("head", canonical_section_col(F.col("head")).alias("key"))
+    q["q19_canonical_headings"] = q19_canonical_headings
+
+    def q20_doc_gates(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.agg(
+            F.count("*").alias("total_docs"),
+            F.round(F.avg(F.when(F.col("n_chars") >= 30, 1.0).otherwise(0.0)), 6)
+            .alias("long_rate"),
+            F.round(F.avg(TS.word_count(F.col("text"))), 4).alias("avg_words"),
+            F.round(F.avg(TS.noise_ratio(F.col("text"))), 6).alias("avg_noise"),
+        )
+    q["q20_doc_gates"] = q20_doc_gates
+
+    def q21_source_doc_stats(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.groupBy("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("doc_id").alias("first_doc"))
+        )
+    q["q21_source_doc_stats"] = q21_source_doc_stats
+
+    # ---- extraction family (rows-only: not SQL-expressible) -----------
+    def x01_extract_sections(spark, sf):
+        return sections_long(_synth_records(spark)).orderBy(
+            "conv_id", "section_label")
+    q["x01_extract_sections"] = x01_extract_sections
+
+    def x02_extract_media(spark, sf):
+        return media_long(_synth_records(spark)).orderBy("conv_id", "kind", "pos")
+    q["x02_extract_media"] = x02_extract_media
+
+    def x03_extract_references(spark, sf):
+        return references_long(_synth_records(spark)).orderBy(
+            "conv_id", "ref_index")
+    q["x03_extract_references"] = x03_extract_references
+
+    def x04_extract_meta(spark, sf):
+        return (
+            _synth_records(spark)
+            .select("conv_id", "title", "journal", "doi",
+                    F.size("authors").cast("bigint").alias("n_authors"),
+                    F.size("keywords").cast("bigint").alias("n_keywords"))
+            .orderBy("conv_id")
+        )
+    q["x04_extract_meta"] = x04_extract_meta
+
+    def x05_turn_spans(spark, sf):
+        return extract_turn_spans(_synth_turns(spark)).orderBy(
+            "conv_id", "turn_idx", "unit_idx")
+    q["x05_turn_spans"] = x05_turn_spans
+
+    def x06_corpus_quality(spark, sf):
+        return MX.corpus_quality(_synth_records(spark))
+    q["x06_corpus_quality"] = x06_corpus_quality
+
+    def x07_validation_scores(spark, sf):
+        return MX.validation_scores(_synth_records(spark)).orderBy("conv_id")
+    q["x07_validation_scores"] = x07_validation_scores
+
+    def x08_simhash(spark, sf):
+        return DD.simhash(_t(spark, sf, "documents"), "doc_id", "text")
+    q["x08_simhash"] = x08_simhash
+
+    def x09_minhash_lsh_pairs(spark, sf):
+        return DD.minhash_lsh_pairs(_t(spark, sf, "documents"),
+                                    "doc_id", "text", n=3,
+                                    num_hashes=12, bands=4)
+    q["x09_minhash_lsh_pairs"] = x09_minhash_lsh_pairs
+
+    def x10_head_frequencies(spark, sf):
+        return MX.head_frequencies(_synth_records(spark))
+    q["x10_head_frequencies"] = x10_head_frequencies
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_WORDS_EXPR = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+_NOISE_CLASS = "[A-Za-z0-9 .,;:''\"!?()\\[\\]{}\\-_/\\\\%+*=<>\t\r\n]"
+_STOP_LIST = ", ".join(f"'{w}'" for w in TS.EN_STOPWORDS)
+
+
+def _noise_expr(col: str = "text") -> str:
+    return (
+        f"CASE WHEN length({col}) = 0 THEN 0.0 ELSE "
+        f"CAST(length(regexp_replace({col}, '{_NOISE_CLASS}', '', 'g')) AS DOUBLE)"
+        f" / length({col}) END"
+    )
+
+
+def _stopword_expr(col: str = "text") -> str:
+    return (
+        f"CASE WHEN trim({col}) = '' THEN 0.0 ELSE "
+        f"CAST(len(list_filter(string_split_regex(trim(lower({col})), '\\s+'),"
+        f" x -> x IN ({_STOP_LIST}))) AS DOUBLE) / ({_WORDS_EXPR.replace('text', col)}) END"
+    )
+
+
+_GRAMS_CTE = (
+    "toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t "
+    "FROM documents WHERE trim(text) <> ''), "
+    "grams AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle "
+    "FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), "
+    "sh AS (SELECT DISTINCT doc_id AS doc, shingle FROM grams)"
+)
+
+
+def _mh_expr(j: int) -> str:
+    return (
+        f"min(CAST('0x' || substr(md5('{j}:' || shingle), 1, 15) AS BIGINT)) AS mh{j}"
+    )
+
+
+def _sql_escape(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _heading_probes() -> list[str]:
+    heads = sorted(exact_map().keys())
+    probes = []
+    for h in heads[:120]:
+        probes.extend([h, h.title(), f"3.1. {h}", f"| {h.upper()}"])
+    probes += [
+        "Bayesian framework statistics", "Key results overview",
+        "Novel Protocol", "Aims of the present work",
+        "General discussion of findings", "Concluding remarks",
+        "results & discussion", "IV. Results", "", "   ",
+    ]
+    return probes
+
+
+def _canonical_sql() -> str:
+    sanitize = (
+        "trim(regexp_replace(regexp_replace(regexp_replace(lower(trim(head)),"
+        " '^[|>•\\-–—\\s]+', ''),"
+        " '(?i)^(?:[ivxlcdm]+\\.|\\d+(?:\\.\\d+)*\\.?)[\\s\\-:]*', ''),"
+        " '\\s+', ' ', 'g'))"
+    )
+    whens = "\n".join(
+        f"WHEN n = '{_sql_escape(k)}' THEN '{_sql_escape(v)}'"
+        for k, v in sorted(exact_map().items())
+    )
+    methods = " OR ".join(f"contains(n, '{_sql_escape(k)}')" for k in methods_keywords())
+    intro = " OR ".join(f"contains(n, '{_sql_escape(k)}')" for k in intro_keywords())
+    values = ",\n".join(f"('{_sql_escape(p)}')" for p in _heading_probes())
+    return f"""
+WITH probes(head) AS (VALUES {values}),
+ norm AS (SELECT head, {sanitize} AS n FROM probes)
+SELECT head,
+  CASE WHEN n = '' THEN ''
+  {whens}
+  WHEN contains(n, 'results') AND contains(n, 'discussion') THEN 'results_and_discussion'
+  WHEN {methods} THEN 'materials_and_methods'
+  WHEN {intro} THEN 'introduction'
+  WHEN contains(n, 'conclusion') OR contains(n, 'clinical significance') THEN 'conclusions'
+  WHEN contains(n, 'result') THEN 'results'
+  WHEN contains(n, 'discussion') OR contains(n, 'limitation') THEN 'discussion'
+  ELSE replace(n, ' ', '_') END AS key
+FROM norm
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["q01_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+  round(avg(l_quantity), 4) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+    o["q02_top_orders_per_customer"] = """
+SELECT o_custkey, o_orderkey, rank FROM (
+  SELECT o_custkey, o_orderkey,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders) WHERE rank <= 3
+"""
+    o["q03_first_wins_orders"] = """
+SELECT o_custkey, o_orderkey AS first_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders) WHERE rn = 1
+"""
+    o["q04_region_rollup"] = """
+SELECT r_name, count(*) AS n_customers,
+  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+    o["q05_priority_concat"] = """
+SELECT o_custkey,
+  string_agg(o_orderpriority, '+' ORDER BY o_orderdate, o_orderkey) AS priority_seq
+FROM orders GROUP BY o_custkey
+"""
+    o["q06_exact_dup_docs"] = """
+SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS first_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+    o["q07_text_stats"] = f"""
+SELECT doc_id,
+  CAST({_WORDS_EXPR} AS BIGINT) AS words,
+  CAST(length(text) AS BIGINT) AS chars,
+  round(CASE WHEN {_WORDS_EXPR} = 0 THEN 0.0
+        ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+             / ({_WORDS_EXPR}) END, 4) AS avg_token_len,
+  md5(text) AS fp
+FROM documents
+"""
+    o["q08_quality"] = f"""
+SELECT doc_id,
+  round({_noise_expr()}, 6) AS noise,
+  round({_stopword_expr()}, 6) AS stopword_ratio,
+  round(least(({_WORDS_EXPR}) / 2.0, 40.0)
+    + CASE WHEN (CASE WHEN {_WORDS_EXPR} = 0 THEN 0.0
+            ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                 / ({_WORDS_EXPR}) END) BETWEEN 3.0 AND 9.0
+           THEN 30.0 ELSE 10.0 END
+    + CASE WHEN {_noise_expr()} <= 0.02 THEN 30.0 ELSE 0.0 END, 2) AS quality,
+  CASE WHEN {_stopword_expr()} > 0.03 THEN 'en' ELSE 'unk' END AS lang_guess
+FROM documents
+"""
+    o["q09_lang_rates"] = f"""
+SELECT CASE WHEN {_stopword_expr()} > 0.03 THEN 'en' ELSE 'unk' END AS lang_guess,
+  count(*) AS n
+FROM documents GROUP BY 1
+"""
+    o["q10_minhash"] = f"""
+WITH {_GRAMS_CTE}
+SELECT doc, {", ".join(_mh_expr(j) for j in range(4))}
+FROM sh GROUP BY doc
+"""
+    o["q11_jaccard_pairs"] = f"""
+WITH {_GRAMS_CTE},
+ sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+ inter AS (
+   SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+   GROUP BY a.doc, b.doc)
+SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc = doc_a
+JOIN sz sb ON sb.doc = doc_b
+WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.2
+"""
+    o["q12_embedding_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+ s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, c.embedding) AS cos
+       FROM q, embeddings c WHERE c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s) WHERE rank <= 5
+"""
+    o["q13_lsh_buckets"] = """
+SELECT array_to_string(list_transform(embedding[1:8],
+         x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket,
+  count(*) AS n
+FROM embeddings GROUP BY 1
+"""
+    o["q14_event_type_counts"] = """
+SELECT event_type, count(*) AS n,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+"""
+    o["q15_events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+  count(*) AS n
+FROM events GROUP BY 1
+"""
+    o["q16_sessionize"] = """
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+GROUP BY user_id
+"""
+    o["q17_unordered_parts"] = """
+SELECT count(*) AS n_unordered_parts FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+    o["q18_segment_top_customers"] = """
+SELECT c_mktsegment, c_custkey, rank,
+  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+    row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+  FROM customer) WHERE rank <= 5
+"""
+    o["q19_canonical_headings"] = _canonical_sql()
+    o["q20_doc_gates"] = f"""
+SELECT count(*) AS total_docs,
+  round(avg(CASE WHEN n_chars >= 30 THEN 1.0 ELSE 0.0 END), 6) AS long_rate,
+  round(avg({_WORDS_EXPR}), 4) AS avg_words,
+  round(avg({_noise_expr()}), 6) AS avg_noise
+FROM documents
+"""
+    o["q21_source_doc_stats"] = """
+SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  min(doc_id) AS first_doc
+FROM documents GROUP BY source, lang
+"""
+    return o

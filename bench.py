@@ -1,0 +1,102 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line ``{"metric", "value", "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+The extraction corpus (transcripts) is generated deterministically
+into a local cache on first use (generation excluded from timings).
+Extra keys: ``turns_per_sec`` (north metric at this parallelism) and
+``n_turns``. Scaling efficiency between two parallelism levels is
+measured by ``scripts/bench_scaling.py`` (separate sessions) and
+reported in ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from paperslicer_spark.operators.assemble import assemble_documents
+from paperslicer_spark.operators.extract import parse_documents, sections_long
+from paperslicer_spark.operators.spans import extract_turn_spans
+from paperslicer_spark.session import get_spark
+from paperslicer_spark.sources.transcripts import transcripts_df
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cache")
+
+# transcripts corpus size per sf (documents ≈ 1000 × sf × 10)
+DOCS_PER_SF = 30000
+
+
+def corpus_path(spark, sf: float, n_docs: int) -> str:
+    path = os.path.join(CACHE, f"transcripts_sf{sf}_n{n_docs}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = transcripts_df(spark, n_docs, seed=42, skew_every=500,
+                            skew_mult=25, partitions=64)
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_docs = max(int(DOCS_PER_SF * sf), 200)
+
+    spark = get_spark(app_name="paperslicer-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    corpus = corpus_path(spark, sf, n_docs)
+    turns = spark.read.parquet(corpus)
+    n_turns = turns.count()
+
+    def force(df):
+        # noop sink computes every column — no pruning shortcuts
+        df.write.format("noop").mode("overwrite").save()
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # north-metric hot path: per-turn span extraction (map-only)
+    timed("extract_turn_spans", lambda: force(extract_turn_spans(turns)))
+    # full document pipeline: assemble (salted) → parse → sections
+    timed("extract_records",
+          lambda: force(sections_long(
+              parse_documents(assemble_documents(turns, salt_blocks=32)))))
+    # analytics headliners over driver tables
+    for name in ["q01_pricing_summary", "q05_priority_concat",
+                 "q11_jaccard_pairs", "q12_embedding_topk",
+                 "q16_sessionize", "q19_canonical_headings"]:
+        timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    spans_sec = timings["extract_turn_spans"]
+    print(json.dumps({
+        "metric": "headline suite wall time (extraction + analytics)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / spans_sec, 1) if spans_sec else None,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

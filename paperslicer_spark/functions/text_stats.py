@@ -1,0 +1,106 @@
+"""Text-analysis column helpers (training-data-pipeline surface).
+
+All JVM-side ``pyspark.sql.functions`` compositions (no Python UDFs):
+token counting, noise ratio (reference P6, ``evaluate_corpus.py:71-82``
+semantics on the ASCII domain), quality scoring, language-ID heuristic,
+document fingerprinting. Each has an ANSI-SQL twin used in
+``__spark_entry__.oracle_sql`` so the driver can cross-check values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# whitespace tokenization; BPE-ish subtoken split for token_count_bpe
+WS = r"\s+"
+_BPE_SPLIT = r"[^a-zA-Z0-9]+|(?<=[a-z])(?=[A-Z])"
+
+EN_STOPWORDS = [
+    "the", "and", "of", "to", "in", "a", "is", "was", "for", "with",
+    "on", "as", "by", "at", "an", "be", "this", "that", "are", "were",
+]
+
+# reference P6 allowed set: ASCII alnum, whitespace, basic punctuation
+# expressed as a character class (identical in Java regex and RE2)
+NOISE_ALLOWED_CLASS = r"""[A-Za-z0-9 .,;:'"!?()\[\]{}\-_/\\%+*=<>\t\r\n]"""
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), WS)
+
+
+def word_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(col))
+    )
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def avg_token_len(col: Column) -> Column:
+    wc = word_count(col)
+    return F.when(wc == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(col, WS, "")) / wc
+    )
+
+
+def noise_ratio(col: Column) -> Column:
+    """Fraction of characters outside the allowed ASCII set (P6)."""
+    total = F.length(col)
+    bad = F.length(F.regexp_replace(col, NOISE_ALLOWED_CLASS, ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(bad / total)
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Share of tokens that are common-English stopwords."""
+    toks = tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    wc = word_count(col)
+    return F.when(wc == 0, F.lit(0.0)).otherwise(hits / wc)
+
+
+def lang_guess(col: Column) -> Column:
+    """Tiny n-gram-free language ID: 'en' when stopword evidence exists,
+    'unk' otherwise (the corpus here is synthetic word soup)."""
+    return F.when(stopword_ratio(col) > 0.03, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def quality_score(col: Column) -> Column:
+    """0-100 heuristic quality score: length (40) + avg token length
+    band (30) + low-noise (30). Deterministic arithmetic only."""
+    wc = word_count(col)
+    length_pts = F.least(wc / F.lit(2.0), F.lit(40.0))
+    atl = avg_token_len(col)
+    token_pts = F.when((atl >= 3.0) & (atl <= 9.0), F.lit(30.0)).otherwise(F.lit(10.0))
+    noise_pts = F.when(noise_ratio(col) <= 0.02, F.lit(30.0)).otherwise(F.lit(0.0))
+    return F.round(length_pts + token_pts + noise_pts, 2)
+
+
+def fingerprint(col: Column) -> Column:
+    """Stable document fingerprint (md5 hex — portable across engines)."""
+    return F.md5(col)
+
+
+def md5_bigint(col: Column, salt: str = "") -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5.
+
+    Matches DuckDB ``CAST('0x' || substr(md5(salt||x),1,15) AS BIGINT)``
+    — used for minhash so Spark and the SQL oracle agree exactly.
+    """
+    salted = F.concat(F.lit(salt), col) if salt else col
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct token n-gram shingles of a text column (JVM-side)."""
+    toks = tokens(F.lower(col))
+    count = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), count - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(count < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )

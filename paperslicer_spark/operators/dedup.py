@@ -1,0 +1,186 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), first-wins streaming-dedup semantics (reference
+K2, ``project.py:143-166``), MinHash+LSH, n-gram Jaccard, SimHash.
+Everything except SimHash is pure DataFrame ops (JVM-side); hashing is
+md5-based so the DuckDB oracle can reproduce values bit-for-bit.
+
+Scale notes (100 TB):
+- first-wins dedup is a single shuffle on the dedup key + window —
+  no driver-side ``seen`` sets (the reference's approach);
+- MinHash: shingle explode → per-(doc, seed) min — map-side partial
+  aggregation keeps the shuffle at |docs|×|seeds| rows, independent of
+  shingle count; LSH banding turns all-pairs into per-bucket joins;
+- n-gram Jaccard joins on shingle — a frequent-shingle cap (stop-
+  shingle removal) bounds skew; AQE skew-join covers the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from paperslicer_spark.functions.text_stats import md5_bigint, shingles
+
+
+def first_wins_dedup(df: DataFrame, primary_key, fallback_key,
+                     order_cols) -> DataFrame:
+    """Reference K2 semantics: dedup by ``primary_key`` when present
+    else ``fallback_key``, keeping the first row in ``order_cols``
+    arrival order. Two separate key spaces, like the reference's two
+    ``seen`` sets."""
+    key = F.when(
+        F.col(primary_key).isNotNull() & (F.trim(F.col(primary_key)) != ""),
+        F.concat(F.lit("p:"), F.lower(F.trim(F.col(primary_key)))),
+    ).otherwise(F.concat(F.lit("f:"), F.lower(F.trim(F.coalesce(F.col(fallback_key), F.lit(""))))))
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact duplicate groups: fingerprint → count + ids."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("first_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id representative of each exact text group."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """All pairs with token-``n``-gram Jaccard ≥ threshold.
+
+    shingle-explode → equi-join on shingle (never a cross join) →
+    per-pair intersection counts → sizes via broadcast-friendly join.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, num_hashes: int = 12) -> DataFrame:
+    """Per-doc MinHash signature: for seed j, min over shingles of a
+    portable md5-based 60-bit hash of ``j:shingle``."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    aggs = [
+        F.min(md5_bigint(F.col("shingle"), salt=f"{j}:")).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, num_hashes: int = 12,
+                      bands: int = 4) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding over MinHash.
+
+    rows-per-band = num_hashes / bands; docs sharing any full band
+    signature become candidates (then verified with true Jaccard by
+    the caller if needed). The band join is an equi-join on the band
+    key — no all-pairs blowup.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_rows.append(
+            sig.select(
+                "doc",
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bkey"),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    return (
+        a.join(b2, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+SIMHASH_BITS = 64
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (vectorized pandas UDF —
+    per-bit majority vote is cheaper in numpy than 64 JVM aggregates).
+    Near-dup = small Hamming distance between signatures."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _simhash_impl(texts: pd.Series) -> pd.Series:
+        import hashlib
+        import numpy as np
+
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+            for tok in toks:
+                digest = hashlib.md5(tok.encode("utf-8")).digest()[:8]
+                bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
+                acc += bits.astype(np.int64) * 2 - 1
+            sig_bits = (acc > 0).astype(np.uint8)
+            sig = int.from_bytes(np.packbits(sig_bits).tobytes(), "big")
+            out.append(sig - (1 << 63))  # store as signed long
+        return pd.Series(out)
+
+    _simhash_impl.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _simhash = pandas_udf(_simhash_impl, "long")
+    return df.select(F.col(id_col).alias("doc"),
+                     _simhash(F.col(text_col)).alias("simhash"))

@@ -114,39 +114,49 @@ def parse_documents(docs: DataFrame, merge_tables: bool = True,
 
 def sections_long(records: DataFrame) -> DataFrame:
     """Exploded long-form sections table — the north_star's
-    ``(conv_id, section_label, is_canonical, clean_text)`` view."""
-    canon = records.select(
-        "conv_id",
-        F.explode("sections").alias("section_label", "clean_text"),
-    ).withColumn("is_canonical", F.lit(True))
-    other = records.select(
-        "conv_id",
-        F.posexplode("other_sections").alias("pos", "os"),
-    ).select(
-        "conv_id",
-        F.col("os.head").alias("section_label"),
-        F.col("os.text").alias("clean_text"),
-    ).withColumn("is_canonical", F.lit(False))
-    return canon.unionByName(other)
+    ``(conv_id, section_label, is_canonical, clean_text)`` view.
+
+    Single-pass: canonical map entries and other_sections structs are
+    concatenated into one array before ONE explode, so the upstream
+    parse UDF runs exactly once (a union of two selects would
+    re-execute the whole parse stage per branch).
+    """
+    entry = lambda label, text, canon: F.struct(  # noqa: E731
+        label.alias("section_label"), text.alias("clean_text"),
+        canon.alias("is_canonical"))
+    arr = F.concat(
+        F.transform(
+            F.map_entries("sections"),
+            lambda e: entry(e.getField("key"), e.getField("value"), F.lit(True)),
+        ),
+        F.transform(
+            F.col("other_sections"),
+            lambda o: entry(o.getField("head"), o.getField("text"), F.lit(False)),
+        ),
+    )
+    return records.select("conv_id", F.explode(arr).alias("s")).select(
+        "conv_id", "s.section_label", "s.clean_text", "s.is_canonical")
 
 
 def media_long(records: DataFrame) -> DataFrame:
-    """Figures+tables exploded with kind + per-document position."""
-    fig = records.select(
-        "conv_id", F.posexplode("figures").alias("pos", "m")
-    ).withColumn("kind", F.lit("figure"))
-    tab = records.select(
-        "conv_id", F.posexplode("tables").alias("pos", "m")
-    ).withColumn("kind", F.lit("table"))
-    u = fig.unionByName(tab)
-    return u.select(
-        "conv_id", "kind", "pos",
-        F.col("m.label").alias("label"),
-        F.col("m.caption").alias("caption"),
-        F.col("m.path").alias("path"),
-        F.col("m.source").alias("source"),
-        F.col("m.coords").alias("coords"),
-    )
+    """Figures+tables exploded with kind + per-document position —
+    single explode, same one-parse-pass rationale as sections_long."""
+    def tagged(col: str, kind: str):
+        return F.transform(
+            F.col(col),
+            lambda m, i: F.struct(
+                F.lit(kind).alias("kind"), i.alias("pos"),
+                m.getField("label").alias("label"),
+                m.getField("caption").alias("caption"),
+                m.getField("path").alias("path"),
+                m.getField("source").alias("source"),
+                m.getField("coords").alias("coords"),
+            ),
+        )
+    arr = F.concat(tagged("figures", "figure"), tagged("tables", "table"))
+    return records.select("conv_id", F.explode(arr).alias("m")).select(
+        "conv_id", "m.kind", "m.pos", "m.label", "m.caption", "m.path",
+        "m.source", "m.coords")
 
 
 def references_long(records: DataFrame) -> DataFrame:

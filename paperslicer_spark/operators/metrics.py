@@ -1,0 +1,120 @@
+"""Corpus-quality metrics & gates (reference ``scripts/evaluate_corpus.py``).
+
+The reference's analytics layer (A5-A9, SURVEY.md §2.4) re-expressed
+as single-pass DataFrame aggregations over extracted records, plus the
+hard-coded quality gates (``evaluate_corpus.py:290-301``). Also the
+per-doc weighted validation score (``validate_extractions.py:198-246``
+shape: meta 30 + abstract 20 + sections 30 + figures 10 + tables 10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from paperslicer_spark.functions.text_stats import noise_ratio
+
+CANONICAL = ["abstract", "introduction", "materials_and_methods", "results",
+             "discussion", "conclusions", "results_and_discussion"]
+
+
+def _rate(cond) -> F.Column:
+    return F.avg(F.when(cond, 1.0).otherwise(0.0))
+
+
+def corpus_quality(records: DataFrame) -> DataFrame:
+    """One-row corpus metrics + boolean gates (A5 + A8)."""
+    abstract = F.col("sections").getItem("abstract")
+    n_canon = F.size(F.filter(
+        F.map_keys(F.col("sections")), lambda k: k.isin(CANONICAL)))
+    all_text = F.concat_ws(" ", F.map_values(F.col("sections")))
+    per_doc = records.select(
+        F.col("conv_id"),
+        F.col("title").isNotNull().alias("has_title"),
+        (F.col("doi").isNotNull() | F.col("journal").isNotNull()).alias("has_doi_or_journal"),
+        (F.coalesce(F.length(abstract), F.lit(0)) >= 30).alias("abstract_present"),
+        n_canon.alias("n_canonical"),
+        (F.size("figures") + F.size("tables") > 0).alias("has_media"),
+        F.size("figures").alias("n_figures"),
+        F.size("tables").alias("n_tables"),
+        F.size("references").alias("n_references"),
+        noise_ratio(all_text).alias("noise"),
+        F.lower(F.col("doi")).alias("doi_lc"),
+    )
+    dup_doi = (
+        per_doc.where(F.col("doi_lc").isNotNull())
+        .groupBy("doi_lc").count().where(F.col("count") > 1)
+        .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("dup_doi_docs"))
+    )
+    agg = per_doc.agg(
+        F.count("*").alias("total_docs"),
+        _rate(F.col("has_title")).alias("title_rate"),
+        _rate(F.col("has_doi_or_journal")).alias("doi_or_journal_rate"),
+        _rate(F.col("abstract_present")).alias("abstract_rate"),
+        _rate(F.col("n_canonical") >= 3).alias("sections_ge3_rate"),
+        _rate(F.col("n_canonical") >= 4).alias("sections_ge4_rate"),
+        _rate(F.col("n_canonical") >= 5).alias("sections_ge5_rate"),
+        _rate(F.col("has_media")).alias("media_rate"),
+        F.sum("n_figures").alias("total_figures"),
+        F.sum("n_tables").alias("total_tables"),
+        F.sum("n_references").alias("total_references"),
+        F.avg("noise").alias("avg_noise_ratio"),
+    )
+    out = agg.crossJoin(dup_doi)
+    # hard-coded gates, thresholds from evaluate_corpus.py:290-301
+    return out.select(
+        "*",
+        (F.col("title_rate") >= 0.99).alias("gate_title"),
+        (F.col("doi_or_journal_rate") >= 0.95).alias("gate_doi_journal"),
+        (F.col("abstract_rate") >= 1.0).alias("gate_abstract"),
+        (F.col("sections_ge3_rate") >= 0.85).alias("gate_sections"),
+        (F.col("avg_noise_ratio") <= 0.02).alias("gate_noise"),
+        (F.col("dup_doi_docs") <= F.col("total_docs") * 0.01).alias("gate_dup_doi"),
+    )
+
+
+def head_frequencies(records: DataFrame) -> DataFrame:
+    """A6: unmapped (other_sections) head frequency, descending."""
+    return (
+        records.select(F.explode("other_sections").alias("os"))
+        .groupBy(F.col("os.head").alias("head"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("head"))
+    )
+
+
+def validation_scores(records: DataFrame) -> DataFrame:
+    """A9-shaped weighted per-doc score (0-100): metadata 30% +
+    abstract 20% + sections 30% + figures 10% + tables 10%."""
+    abstract = F.col("sections").getItem("abstract")
+    n_canon = F.size(F.filter(
+        F.map_keys(F.col("sections")), lambda k: k.isin(CANONICAL)))
+    meta_pts = (
+        F.when(F.col("title").isNotNull(), 10.0).otherwise(0.0)
+        + F.when(F.col("doi").isNotNull(), 10.0).otherwise(0.0)
+        + F.when(F.col("journal").isNotNull(), 10.0).otherwise(0.0)
+    )
+    abstract_pts = F.when(
+        F.coalesce(F.length(abstract), F.lit(0)) >= 30, 20.0).otherwise(0.0)
+    section_pts = F.least(n_canon.cast("double") * 6.0, F.lit(30.0))
+    figure_pts = F.least(F.size("figures").cast("double") * 5.0, F.lit(10.0))
+    table_pts = F.least(F.size("tables").cast("double") * 5.0, F.lit(10.0))
+    return records.select(
+        "conv_id",
+        F.round(meta_pts + abstract_pts + section_pts + figure_pts + table_pts, 2)
+        .alias("score"),
+    )
+
+
+def partition_lineage(spans: DataFrame) -> DataFrame:
+    """Per-partition lineage/metrics table (north_rule): what each task
+    contributed — enables checkpoint/resume audits."""
+    return (
+        spans.withColumn("part_id", F.spark_partition_id())
+        .groupBy("part_id")
+        .agg(
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.countDistinct("conv_id", "turn_idx").alias("n_turns"),
+            F.count("*").alias("n_units"),
+            F.sum(F.length("clean_text")).alias("n_clean_chars"),
+        )
+    )

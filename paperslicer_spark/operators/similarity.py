@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the exact baseline and a sign-LSH bucketed
+variant as the scale path. Dot products stay JVM-side via
+``aggregate``/``zip_with`` higher-order functions — no Python UDF.
+
+Scale path notes: brute force is a broadcast of the (small) query set
+against the corpus — linear scan, embarrassingly parallel. The LSH
+variant buckets by leading-dimension sign bits so each query only
+scans its bucket (probing neighbors of the bucket restores recall);
+at 100 TB you'd persist the bucketed table sorted by bucket for
+partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cos).
+
+    Ties broken by neighbor id for determinism; self-matches excluded.
+    The query side is broadcast (small by contract).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def sign_lsh_bucket(vec_col, bits: int = 8):
+    """Sign-bit bucket key from the first ``bits`` dimensions."""
+    return F.array_join(
+        F.transform(
+            F.slice(vec_col, 1, bits),
+            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             bits: int = 8) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket.
+
+    Recall < 1 by construction; the exactness/scale trade is the point.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(q).join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )

@@ -40,6 +40,8 @@ def corpus_path(tmp_path_factory):
     """Small deterministic transcript corpus parquet."""
     from paperslicer_spark.sources.transcripts import write_local_corpus
 
-    p = tmp_path_factory.mktemp("corpus") / "transcripts.parquet"
-    write_local_corpus(str(p), n_docs=40, seed=42, skew_every=13, skew_mult=8)
-    return str(p)
+    d = tmp_path_factory.mktemp("corpus") / "transcripts"
+    d.mkdir()
+    write_local_corpus(str(d / "part-0.parquet"), n_docs=40, seed=42,
+                       skew_every=13, skew_mult=8)
+    return str(d)

@@ -1,0 +1,53 @@
+"""Driver-contract smoke: entry() + a sampled oracle cross-check."""
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF001 = "/root/testdata/sf0.001"
+HAS_TESTDATA = os.path.exists(os.path.join(SF001, "documents.parquet"))
+
+pytestmark = pytest.mark.skipif(not HAS_TESTDATA, reason="no driver testdata")
+
+
+def test_entry_returns_sections(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"conv_id", "section_label", "clean_text",
+                               "is_canonical"}
+    assert all(r["clean_text"] for r in rows)
+    # every document contributed its Results section
+    assert sum(1 for r in rows if r["section_label"] == "results") > 0
+
+
+def test_queries_have_oracles_or_are_extraction():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    for name in qs:
+        assert name in oracles or name.startswith("x"), name
+
+
+@pytest.mark.parametrize("qname", ["q19_canonical_headings", "q07_text_stats"])
+def test_sampled_oracle_parity(spark, qname):
+    """Cheap inline version of scripts/check_oracles.py for two
+    representative queries (full sweep runs in the driver)."""
+    sdf = entrymod.queries()[qname](spark, SF001).toPandas()
+    con = duckdb.connect()
+    for t in ["documents"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF001}/{t}.parquet'")
+    odf = con.sql(entrymod.oracle_sql()[qname]).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+
+    def key(df):
+        return sorted(
+            "\x1f".join(f"{v:.9g}" if isinstance(v, float) else str(v)
+                        for v in row)
+            for row in df[cols].itertuples(index=False, name=None))
+
+    assert key(sdf) == key(odf)

@@ -1,0 +1,158 @@
+"""Dedup / similarity / metrics / checkpoint / streaming operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and looked at the dog"),
+        (2, "the cat sat on the mat and looked at the dog"),        # exact dup of 1
+        (3, "the cat sat on the mat and stared at the dog"),        # near dup
+        (4, "completely different words entirely unrelated content here"),
+        (5, "short text"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    from paperslicer_spark.operators.dedup import exact_dedup, exact_dup_groups
+
+    groups = exact_dup_groups(docs, "doc_id", "text").collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 2 and groups[0]["first_id"] == 1
+    kept = {r["doc_id"] for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert kept == {1, 3, 4, 5, 6}
+
+
+def test_first_wins_dedup(spark):
+    from paperslicer_spark.operators.dedup import first_wins_dedup
+
+    rows = [
+        ("10.1/a", "T1", 1), ("10.1/A", "T2", 2),   # same DOI (case) → first wins
+        (None, "Same Title", 3), (None, "same title", 4),  # fallback key
+        (None, "Other", 5),
+    ]
+    df = spark.createDataFrame(rows, "doi string, title string, arrival int")
+    kept = {r["arrival"] for r in
+            first_wins_dedup(df, "doi", "title", ["arrival"]).collect()}
+    assert kept == {1, 3, 5}
+
+
+def test_ngram_jaccard_and_minhash(docs):
+    from paperslicer_spark.operators.dedup import (
+        ngram_jaccard_pairs, minhash_lsh_pairs, minhash_signatures)
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+
+    sigs = {r["doc"]: [r[f"mh{j}"] for j in range(12)]
+            for r in minhash_signatures(docs, "doc_id", "text",
+                                        num_hashes=12).collect()}
+    assert sigs[1] == sigs[2]  # identical docs → identical signatures
+
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()}
+    assert (1, 2) in cand
+    assert (1, 4) not in cand and (2, 4) not in cand
+
+
+def test_simhash(docs):
+    from paperslicer_spark.operators.dedup import simhash
+
+    sh = {r["doc"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    assert sh[1] == sh[2]
+    ham_near = bin((sh[1] ^ sh[3]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((sh[1] ^ sh[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_similarity_topk(spark):
+    from paperslicer_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(6)]
+    rows.append((99, [1.0, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = brute_force_topk(emb, emb.where("vec_id = 0"), k=1).collect()
+    assert top[0]["neighbor_id"] == 99  # most-aligned vector wins
+    approx = lsh_topk(emb, emb.where("vec_id = 0"), k=3, bits=4).collect()
+    assert {r["neighbor_id"] for r in approx} <= {1, 2, 3, 4, 5, 99}
+    assert approx[0]["neighbor_id"] == 99  # same bucket (leading sign bits)
+
+
+def test_corpus_quality_and_scores(spark, corpus_path):
+    from paperslicer_spark.operators.assemble import assemble_documents
+    from paperslicer_spark.operators.extract import parse_documents
+    from paperslicer_spark.operators.metrics import (
+        corpus_quality, validation_scores, head_frequencies)
+
+    turns = spark.read.parquet(corpus_path)
+    records = parse_documents(assemble_documents(turns)).cache()
+    q = corpus_quality(records).collect()[0]
+    assert q["total_docs"] == 40
+    assert q["title_rate"] == 1.0
+    assert q["abstract_rate"] > 0.5
+    assert q["gate_title"] and q["gate_dup_doi"]
+    scores = validation_scores(records).collect()
+    assert all(0 <= r["score"] <= 100 for r in scores)
+    assert any(r["score"] >= 70 for r in scores)
+    heads = head_frequencies(records).collect()
+    assert heads and heads[0]["count"] >= heads[-1]["count"]
+    records.unpersist()
+
+
+def test_checkpoint_resume(spark, corpus_path, tmp_path):
+    from paperslicer_spark.operators.spans import extract_turn_spans
+    from paperslicer_spark.plans.checkpoint import run_with_resume
+
+    out = str(tmp_path / "spans_out")
+    turns = spark.read.parquet(corpus_path)
+    s1 = run_with_resume(spark, turns, out, extract_turn_spans, n_buckets=4)
+    assert len(s1["ran"]) == 4 and not s1["skipped"]
+    total = spark.read.parquet(out + "/data").count()
+    assert total == extract_turn_spans(turns).count()
+    # resume: everything already done → no work
+    s2 = run_with_resume(spark, turns, out, extract_turn_spans, n_buckets=4)
+    assert len(s2["skipped"]) == 4 and not s2["ran"]
+    assert spark.read.parquet(out + "/data").count() == total
+
+
+def test_partition_lineage(spark, corpus_path):
+    from paperslicer_spark.operators.metrics import partition_lineage
+    from paperslicer_spark.operators.spans import extract_turn_spans
+
+    turns = spark.read.parquet(corpus_path)
+    lin = partition_lineage(extract_turn_spans(turns))
+    rows = lin.collect()
+    assert sum(r["n_units"] for r in rows) == extract_turn_spans(turns).count()
+
+
+def test_streaming_spans(spark, corpus_path, tmp_path):
+    from paperslicer_spark.streaming.stream_extract import (
+        stream_turns, streaming_spans, streaming_turn_rates)
+
+    stream = stream_turns(spark, corpus_path)
+    assert stream.isStreaming
+    q1 = (streaming_spans(stream).writeStream.format("memory")
+          .queryName("spans_mem").outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ck1")).start())
+    q1.processAllAvailable()
+    q1.stop()
+    n_stream = spark.sql("select count(*) c from spans_mem").collect()[0]["c"]
+    from paperslicer_spark.operators.spans import extract_turn_spans
+    n_batch = extract_turn_spans(spark.read.parquet(corpus_path)).count()
+    assert n_stream == n_batch
+
+    q2 = (streaming_turn_rates(stream).writeStream.format("memory")
+          .queryName("rates_mem").outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ck2")).start())
+    q2.processAllAvailable()
+    q2.stop()
+    # watermark append-mode may hold the tail window; completeness of the
+    # stateless path is asserted above — here just check schema + some rows
+    rates = spark.sql("select * from rates_mem")
+    assert set(rates.columns) == {"window_start", "window_end", "role",
+                                  "n_turns", "n_chars"}
