@@ -293,9 +293,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q18_segment_top_customers"] = q18_segment_top_customers
 
     def q19_canonical_headings(spark, sf):
-        probes = _heading_probes()
-        df = spark.createDataFrame([(p,) for p in probes], "head string")
-        return df.select("head", canonical_section_col(F.col("head")).alias("key"))
+        import pandas as pd
+        from paperslicer_spark.functions.sections import canonical_headings
+        df = spark.createDataFrame(
+            pd.DataFrame({"head": _heading_probes()}))
+        return canonical_headings(spark, df, "head").select("head", "key")
     q["q19_canonical_headings"] = q19_canonical_headings
 
     def q20_doc_gates(spark, sf):

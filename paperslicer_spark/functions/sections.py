@@ -127,6 +127,53 @@ def sanitize_heading_col(col):
     return F.trim(s)
 
 
+def canonical_headings(spark, df, head_col: str = "head"):
+    """Broadcast-join variant of :func:`canonical_section_col`.
+
+    The ~220-entry exact table becomes a broadcast dimension DataFrame
+    (reference J1, SURVEY.md §2.3) instead of a 448-literal
+    ``create_map`` — the literal map is semantically identical but its
+    giant expression tree costs seconds of Catalyst/codegen time per
+    query, while a broadcast hash join plans in milliseconds and is the
+    shape that scales to bigger mapping tables.
+
+    Returns ``df`` with an added ``key`` column.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    # pandas → Arrow-backed LocalRelation: a plain Python list would
+    # become an ExistingRDD scan that needs Python workers at exec time
+    mapping = spark.createDataFrame(
+        pd.DataFrame(list(exact_map().items()),
+                     columns=["n_exact", "exact_key"]))
+    n = sanitize_heading_col(F.col(head_col))
+    out = df.withColumn("_n", n).join(
+        F.broadcast(mapping), F.col("_n") == F.col("n_exact"), "left")
+    nn = F.col("_n")
+
+    def _contains_any(words):
+        cond = F.lit(False)
+        for w in words:
+            cond = cond | F.contains(nn, F.lit(w))
+        return cond
+
+    cascade = (
+        F.when(F.contains(nn, F.lit("results")) & F.contains(nn, F.lit("discussion")),
+               "results_and_discussion")
+        .when(_contains_any(methods_keywords()), "materials_and_methods")
+        .when(_contains_any(intro_keywords()), "introduction")
+        .when(F.contains(nn, F.lit("conclusion"))
+              | F.contains(nn, F.lit("clinical significance")), "conclusions")
+        .when(F.contains(nn, F.lit("result")), "results")
+        .when(F.contains(nn, F.lit("discussion"))
+              | F.contains(nn, F.lit("limitation")), "discussion")
+        .otherwise(F.replace(nn, F.lit(" "), F.lit("_")))
+    )
+    key = F.when(nn == "", "").otherwise(F.coalesce(F.col("exact_key"), cascade))
+    return out.withColumn("key", key).drop("_n", "n_exact", "exact_key")
+
+
 def canonical_section_col(col):
     """Spark Column version of :func:`canonical_section_name`.
 

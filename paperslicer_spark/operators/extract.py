@@ -86,6 +86,10 @@ def parse_documents(docs: DataFrame, merge_tables: bool = True,
     None applies the reference heuristic (``journals/review.py:10-20``).
     """
 
+    _COLS = ["conv_id", "status", "error", "title", "journal", "doi",
+             "authors", "keywords", "sections", "other_sections",
+             "figures", "tables", "references"]
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
         from paperslicer_spark.extraction.tei import parse_tei
@@ -93,7 +97,7 @@ def parse_documents(docs: DataFrame, merge_tables: bool = True,
         from paperslicer_spark.extraction.review import should_apply, apply_review
 
         for pdf in batches:
-            rows = []
+            cols: dict = {c: [] for c in _COLS}
             for conv_id, payload in zip(pdf["conv_id"], pdf["payload"]):
                 try:
                     rec = parse_tei(payload, source_path=conv_id)
@@ -101,13 +105,14 @@ def parse_documents(docs: DataFrame, merge_tables: bool = True,
                         merge_table_entries(rec)
                     if review_mode is True or (review_mode is None and should_apply(rec)):
                         apply_review(rec)
-                    rows.append(_flatten(conv_id, rec))
+                    row = _flatten(conv_id, rec)
                 except Exception as e:  # noqa: BLE001 — error-row model
                     row = dict(_EMPTY)
                     row.update(conv_id=conv_id, status="error",
                                error=f"{type(e).__name__}: {e}")
-                    rows.append(row)
-            yield pd.DataFrame(rows)
+                for c in _COLS:
+                    cols[c].append(row[c])
+            yield pd.DataFrame(cols)
 
     return docs.mapInPandas(run, schema=RECORD_SCHEMA)
 

@@ -113,32 +113,47 @@ def turn_units(fragment: str) -> tuple[str, List[dict], bool]:
 
 
 def extract_turn_spans(turns: DataFrame) -> DataFrame:
-    """Transcripts → per-unit span rows (map-only, no shuffle)."""
+    """Transcripts → per-unit span rows (map-only, no shuffle).
+
+    Output batches are built column-wise (dict-of-lists): constructing
+    a pandas DataFrame from per-row dicts measured ~10× slower than the
+    parse itself at bench scale — the Arrow boundary must stay cheap.
+    """
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
+            conv_ids: list = []
+            turn_idxs: list = []
+            unit_idxs: list = []
+            kinds: list = []
+            labels: list = []
+            starts: list = []
+            ends: list = []
+            texts: list = []
             for conv_id, turn_idx, text in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"]
             ):
                 if text is None:
                     continue
                 _, units, _ = turn_units(text)
+                ti = int(turn_idx)
                 for i, u in enumerate(units):
-                    rows.append({
-                        "conv_id": conv_id,
-                        "turn_idx": int(turn_idx),
-                        "unit_idx": i,
-                        **u,
-                    })
-            yield pd.DataFrame(
-                rows,
-                columns=["conv_id", "turn_idx", "unit_idx", "kind",
-                         "section_label", "char_start", "char_end",
-                         "clean_text"],
-            )
+                    conv_ids.append(conv_id)
+                    turn_idxs.append(ti)
+                    unit_idxs.append(i)
+                    kinds.append(u["kind"])
+                    labels.append(u["section_label"])
+                    starts.append(u["char_start"])
+                    ends.append(u["char_end"])
+                    texts.append(u["clean_text"])
+            yield pd.DataFrame({
+                "conv_id": conv_ids, "turn_idx": turn_idxs,
+                "unit_idx": unit_idxs, "kind": kinds,
+                "section_label": labels, "char_start": starts,
+                "char_end": ends, "clean_text": texts,
+            })
 
     return turns.mapInPandas(run, schema=SPAN_SCHEMA)
 
@@ -150,22 +165,16 @@ def clean_turns(turns: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for conv_id, turn_idx, text in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
-            ):
+            cleans, n_units, oks = [], [], []
+            for text in pdf["text"]:
                 clean, units, ok = turn_units(text or "")
-                rows.append({
-                    "conv_id": conv_id,
-                    "turn_idx": int(turn_idx),
-                    "clean_text": clean,
-                    "n_units": len(units),
-                    "parse_ok": ok,
-                })
-            yield pd.DataFrame(
-                rows,
-                columns=["conv_id", "turn_idx", "clean_text", "n_units",
-                         "parse_ok"],
-            )
+                cleans.append(clean)
+                n_units.append(len(units))
+                oks.append(ok)
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"].values,
+                "turn_idx": pdf["turn_idx"].astype("int32").values,
+                "clean_text": cleans, "n_units": n_units, "parse_ok": oks,
+            })
 
     return turns.mapInPandas(run, schema=CLEAN_SCHEMA)

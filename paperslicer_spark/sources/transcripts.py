@@ -278,13 +278,16 @@ def transcripts_df(spark, n_docs: int, seed: int = 42, skew_every: int = 0,
     base = spark.range(0, n_docs, 1, parts)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
         for pdf in batches:
-            rows = []
+            data: dict = {c: [] for c in cols}
             for doc_idx in pdf["id"].tolist():
-                rows.extend(doc_turn_rows(int(doc_idx), seed=seed,
-                                          skew_every=skew_every,
-                                          skew_mult=skew_mult))
-            yield pd.DataFrame(rows)
+                for r in doc_turn_rows(int(doc_idx), seed=seed,
+                                       skew_every=skew_every,
+                                       skew_mult=skew_mult):
+                    for c in cols:
+                        data[c].append(r[c])
+            yield pd.DataFrame(data)
 
     return base.mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
 
