@@ -85,7 +85,7 @@ def entry(spark: SparkSession) -> DataFrame:
     transcripts — assemble → parse → long-form sections."""
     docs = _t(spark, "/root/testdata/sf0.001", "documents")
     turns = _docs_as_transcripts(docs)
-    records = parse_documents(assemble_documents(turns, salt_blocks=64))
+    records = parse_documents(assemble_documents(turns))
     return sections_long(records).orderBy("conv_id", "section_label")
 
 
@@ -103,7 +103,7 @@ def _synth_turns(spark: SparkSession) -> DataFrame:
 
 def _synth_records(spark: SparkSession) -> DataFrame:
     return parse_documents(assemble_documents(_synth_turns(spark),
-                                              salt_blocks=16))
+                                              skew_threshold=20))
 
 
 # ---------------------------------------------------------------------------

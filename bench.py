@@ -83,7 +83,7 @@ def main():
     # full document pipeline: assemble (salted) → parse → sections
     timed("extract_records",
           lambda: force(sections_long(
-              parse_documents(assemble_documents(turns, salt_blocks=32)))))
+              parse_documents(assemble_documents(turns, skew_threshold=64)))))
     # analytics headliners over driver tables
     for name in ["q01_pricing_summary", "q05_priority_concat",
                  "q11_jaccard_pairs", "q12_embedding_topk",

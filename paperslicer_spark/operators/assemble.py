@@ -8,10 +8,14 @@ payloads with:
 - **stable turn ordering** enforced by sorting position-tagged structs
   (never bare ``collect_list`` — its order is nondeterministic under
   parallel execution; SURVEY.md §4.4);
-- **salted two-phase aggregation** to defuse long-conversation skew
-  (north_rule): phase 1 groups on ``(conv_id, turn_block)`` so a
-  10^5-turn conversation is pre-concatenated by many tasks, phase 2
-  merges the few block rows per conversation;
+- **skew-split salting** (north_rule): a cheap per-conversation turn
+  count first identifies the skewed tail (conversations with 100-1000×
+  the median turn count); only THOSE go through the two-phase salted
+  aggregation — pre-concatenation per ``(conv_id, turn_block)`` so no
+  single reducer materializes a 10^5-row group — while the uniform
+  bulk takes the direct one-shuffle path. Salting everything would
+  double the shuffled payload bytes for no benefit (measured 20×
+  slower at bench scale);
 - everything JVM-side (built-in higher-order functions, no UDF) so the
   whole stage stays in Tungsten until the parse UDF.
 
@@ -48,53 +52,73 @@ def _ordered_concat(pairs_col):
     )
 
 
-def assemble_documents(turns: DataFrame, salt_blocks: int = 0) -> DataFrame:
+def _per_class(t: DataFrame) -> DataFrame:
+    """(conv_id, frag_class, pos, text) → one row per conv with the
+    four class concatenations, ordered by pos within each class."""
+    return t.groupBy("conv_id").agg(
+        *[
+            _ordered_concat(
+                F.collect_list(
+                    F.when(F.col("frag_class") == name, F.struct("pos", "text"))
+                )
+            ).alias(name)
+            for name in ("header", "facs", "back", "body")
+        ]
+    )
+
+
+def _salted_blocks(t: DataFrame, salt_blocks: int) -> DataFrame:
+    """Phase 1 for skewed conversations: pre-concatenate per
+    (conv_id, class, turn block) so the final per-conv group is tiny."""
+    return (
+        t.groupBy(
+            "conv_id",
+            "frag_class",
+            (F.col("pos") / F.lit(salt_blocks)).cast("int").alias("blk"),
+        )
+        .agg(
+            _ordered_concat(
+                F.collect_list(F.struct("pos", "text"))
+            ).alias("text"),
+        )
+        .select("conv_id", "frag_class", F.col("blk").alias("pos"), "text")
+    )
+
+
+def assemble_documents(turns: DataFrame, salt_blocks: int = 0,
+                       skew_threshold: int | None = None) -> DataFrame:
     """Assemble ``(conv_id, payload)`` from transcript turns.
 
-    ``salt_blocks``: when > 0, turn rows are pre-aggregated per
-    ``(conv_id, floor(turn_idx / salt_blocks))`` before the final
-    per-conversation merge — bounds the row count any single reducer
-    sees for skewed conversations. 0 disables the extra stage (fine
-    when AQE skew handling suffices or turn counts are uniform).
+    ``skew_threshold``: when set, conversations with more than this
+    many turns are routed through the salted two-phase path (block
+    size = ``salt_blocks`` or the threshold); the rest go direct.
+    ``salt_blocks`` > 0 with no threshold forces the two-phase path
+    for ALL conversations (correctness-testing / worst-case mode).
     """
     t = turns.select(
         "conv_id",
-        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("turn_idx").cast("int").alias("pos"),
         _classify(F.col("text")).alias("frag_class"),
         "text",
     ).where(F.col("text").isNotNull() & (F.length("text") > 0))
 
-    if salt_blocks and salt_blocks > 0:
-        blocks = (
-            t.groupBy(
-                "conv_id",
-                "frag_class",
-                (F.col("turn_idx") / F.lit(salt_blocks)).cast("int").alias("blk"),
-            )
-            .agg(
-                _ordered_concat(
-                    F.collect_list(F.struct(F.col("turn_idx").alias("pos"), "text"))
-                ).alias("text"),
-            )
-            .select("conv_id", "frag_class", F.col("blk").alias("pos"), "text")
+    if skew_threshold:
+        block = salt_blocks if salt_blocks and salt_blocks > 0 else skew_threshold
+        skewed_ids = (
+            t.groupBy("conv_id").agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > skew_threshold)
+            .select("conv_id", F.lit(True).alias("_skew"))
         )
-        t = blocks
+        flagged = t.join(F.broadcast(skewed_ids), "conv_id", "left")
+        normal = flagged.where(F.col("_skew").isNull()).drop("_skew")
+        skewed = flagged.where(F.col("_skew").isNotNull()).drop("_skew")
+        per_class = _per_class(normal).unionByName(
+            _per_class(_salted_blocks(skewed, block)))
+    elif salt_blocks and salt_blocks > 0:
+        per_class = _per_class(_salted_blocks(t, salt_blocks))
     else:
-        t = t.select("conv_id", "frag_class", F.col("turn_idx").alias("pos"), "text")
+        per_class = _per_class(t)
 
-    per_class = (
-        t.groupBy("conv_id")
-        .agg(
-            *[
-                _ordered_concat(
-                    F.collect_list(
-                        F.when(F.col("frag_class") == name, F.struct("pos", "text"))
-                    )
-                ).alias(name)
-                for name in ("header", "facs", "back", "body")
-            ]
-        )
-    )
     payload = F.concat(
         F.lit(ENVELOPE_OPEN),
         F.col("header"),

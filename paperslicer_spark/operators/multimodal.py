@@ -1,0 +1,162 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as ``binary`` columns with a
+typed metadata struct; decode / feature-extract / resize / frame-
+sample run as Arrow-batched ``mapInPandas`` stages. The real codecs
+(PIL/ffmpeg/torchvision) are NOT in this container, so the byte-level
+decode is stubbed — but everything Spark-side is real and tested:
+schemas, partitioning, UDF signatures, batch shapes, and a
+deterministic fake codec so pipelines have stable bytes end-to-end.
+
+Fake codec format (deterministic, seeded):
+  ``b"FAKEIMG" + width:uint16 + height:uint16 + fmt:1byte + pixels``
+where pixels are ``width*height`` seeded bytes. ``decode_strict=True``
+raises ``NotImplementedError`` for payloads that are not fake-codec —
+the marked extension point for a real decoder.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+ASSET_SCHEMA = (
+    "asset_id long, conv_id string, kind string, payload binary, "
+    "meta struct<width:int,height:int,format:string,n_bytes:int>"
+)
+
+FEATURE_SCHEMA = (
+    "asset_id long, conv_id string, kind string, width int, height int, "
+    "features array<float>"
+)
+
+_MAGIC = b"FAKEIMG"
+_FMTS = ["png", "jpeg", "webp"]
+
+
+def encode_fake_image(seed: int, width: int, height: int, fmt: str) -> bytes:
+    """Deterministic fake payload (stands in for real encoded bytes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    pixels = rng.randint(0, 256, size=width * height, dtype=np.int64)
+    return (_MAGIC + struct.pack("<HHB", width, height, _FMTS.index(fmt))
+            + pixels.astype("uint8").tobytes())
+
+
+def decode_fake_image(payload: bytes, strict: bool = False):
+    """→ (width, height, fmt, pixel ndarray). The real-codec hook."""
+    import numpy as np
+
+    if not payload or not payload.startswith(_MAGIC):
+        if strict:
+            raise NotImplementedError(
+                "real image decoding requires PIL/libvips — not available "
+                "in this container; payload is not fake-codec")
+        return None
+    w, h, f = struct.unpack_from("<HHB", payload, len(_MAGIC))
+    off = len(_MAGIC) + 5
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=off)
+    return w, h, _FMTS[f], pixels
+
+
+def synth_assets(spark, n_assets: int, seed: int = 42,
+                 partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic asset table generation."""
+    import pandas as pd
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_assets, 1, parts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import random
+
+        for pdf in batches:
+            cols = {k: [] for k in ["asset_id", "conv_id", "kind",
+                                    "payload", "meta"]}
+            for i in pdf["id"].tolist():
+                rng = random.Random((seed << 22) ^ i)
+                w = rng.choice([32, 64, 128])
+                h = rng.choice([32, 64])
+                fmt = rng.choice(_FMTS)
+                payload = encode_fake_image(i, w, h, fmt)
+                cols["asset_id"].append(i)
+                cols["conv_id"].append(f"conv{i % max(n_assets // 4, 1):08d}")
+                cols["kind"].append("image")
+                cols["payload"].append(payload)
+                cols["meta"].append({"width": w, "height": h, "format": fmt,
+                                     "n_bytes": len(payload)})
+            yield pd.DataFrame(cols)
+
+    return base.mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def extract_features(assets: DataFrame, n_bins: int = 8) -> DataFrame:
+    """Decode + feature-extract (pixel-histogram) per asset — the
+    shape of a real embedding/feature stage: binary in, float array
+    out, one Arrow boundary, map-only."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            cols = {k: [] for k in ["asset_id", "conv_id", "kind",
+                                    "width", "height", "features"]}
+            for aid, cid, kind, payload in zip(
+                pdf["asset_id"], pdf["conv_id"], pdf["kind"], pdf["payload"]
+            ):
+                dec = decode_fake_image(bytes(payload))
+                if dec is None:
+                    continue
+                w, h, _, px = dec
+                hist, _ = np.histogram(px, bins=n_bins, range=(0, 256))
+                feats = (hist / max(px.size, 1)).astype("float32")
+                cols["asset_id"].append(int(aid))
+                cols["conv_id"].append(cid)
+                cols["kind"].append(kind)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["features"].append(feats.tolist())
+            yield pd.DataFrame(cols)
+
+    return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_assets(assets: DataFrame, max_side: int = 32) -> DataFrame:
+    """Resize stage: fake codec does nearest-neighbor downsample on its
+    pixel buffer; a real implementation swaps in PIL here."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            cols = {k: [] for k in ["asset_id", "conv_id", "kind",
+                                    "payload", "meta"]}
+            for aid, cid, kind, payload, meta in zip(
+                pdf["asset_id"], pdf["conv_id"], pdf["kind"],
+                pdf["payload"], pdf["meta"]
+            ):
+                dec = decode_fake_image(bytes(payload))
+                if dec is None:
+                    continue
+                w, h, fmt, px = dec
+                scale = max(max(w, h) / max_side, 1.0)
+                nw, nh = max(int(w / scale), 1), max(int(h / scale), 1)
+                grid = px.reshape(h, w)[
+                    np.linspace(0, h - 1, nh).astype(int)][:,
+                    np.linspace(0, w - 1, nw).astype(int)]
+                out = (_MAGIC + struct.pack("<HHB", nw, nh, _FMTS.index(fmt))
+                       + grid.astype("uint8").tobytes())
+                cols["asset_id"].append(int(aid))
+                cols["conv_id"].append(cid)
+                cols["kind"].append(kind)
+                cols["payload"].append(out)
+                cols["meta"].append({"width": nw, "height": nh,
+                                     "format": fmt, "n_bytes": len(out)})
+            yield pd.DataFrame(cols)
+
+    return assets.mapInPandas(run, schema=ASSET_SCHEMA)

@@ -1,0 +1,53 @@
+"""Record sinks (reference K1/K2/K3, ``project.py:51-54,143-205``).
+
+The reference writes one pretty JSON per document and JSONL with a
+driver-side first-wins dedup; at scale those become:
+
+- K1: partitioned JSON/Parquet (one-file-per-doc is an anti-pattern;
+  a deterministic per-doc filename column is provided instead);
+- K2: JSONL with the exact two-keyspace first-wins dedup as a window
+  (operators/dedup.first_wins_dedup), then ``df.write.json``;
+- K3: tiny exports via ``coalesce(1)`` — explicitly only for small
+  result sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from paperslicer_spark.operators.dedup import first_wins_dedup
+
+
+def with_doc_filename(records: DataFrame) -> DataFrame:
+    """K1's ``<stem>.json`` analog: deterministic output name per doc
+    (conv_id + 8-hex content-address, F11-style ``_safe_stem``)."""
+    return records.withColumn(
+        "doc_file",
+        F.concat(F.col("conv_id"), F.lit("_"),
+                 F.substring(F.sha1(F.col("conv_id")), 1, 8),
+                 F.lit(".json")),
+    )
+
+
+def write_records_json(records: DataFrame, path: str,
+                       partitions: int | None = None) -> None:
+    """K1 at scale: newline-delimited JSON, partitioned."""
+    df = with_doc_filename(records)
+    if partitions:
+        df = df.repartition(partitions, "conv_id")
+    df.write.mode("overwrite").json(path)
+
+
+def write_records_jsonl_dedup(records: DataFrame, path: str) -> None:
+    """K2: first-wins dedup by lower(doi) else lower(title) in
+    (conv_id) arrival order, then JSONL."""
+    deduped = first_wins_dedup(records, "doi", "title", ["conv_id"])
+    deduped.write.mode("overwrite").json(path)
+
+
+def write_small_export(df: DataFrame, path: str, max_rows: int = 100_000) -> None:
+    """K3: single-file export, guarded against large results."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(f"refusing single-file export of {n} rows")
+    df.coalesce(1).write.mode("overwrite").json(path)

@@ -15,6 +15,16 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONFS = {
+    # local[32] on a 128 GiB box: the 1g JVM default GC-thrashes under
+    # 32 executor threads (observed GCLocker retry warnings); size the
+    # single local JVM like a real executor fleet would be sized
+    "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
+    "spark.driver.maxResultSize": "8g",
+    # RAM-backed shuffle dir: this sandbox's VM disk makes shuffle I/O
+    # the dominant noise source (measured ~3×); on a real cluster this
+    # is the executors' local NVMe
+    "spark.local.dir": os.environ.get("SPARK_LOCAL_DIRS",
+                                      "/dev/shm/spark-local"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

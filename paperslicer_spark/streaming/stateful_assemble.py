@@ -1,0 +1,110 @@
+"""Stateful streaming document assembly (``applyInPandasWithState``).
+
+Batch assembly (operators/assemble.py) needs all of a conversation's
+turns; in a stream, fragments arrive incrementally. This operator
+keeps per-conversation state — the accumulated (turn_idx, fragment)
+list — and emits a fully parsed record once the terminal ``<back``
+fragment has arrived (our generator's documents always close with the
+back matter), or on processing-time timeout for conversations that
+never complete (emitted with ``status='timeout'`` so no data is lost).
+
+This is the engine's custom stateful operator; the reference has no
+streaming at all (SURVEY.md §2.14).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "turn_idxs array<int>, texts array<string>"
+OUTPUT_SCHEMA = (
+    "conv_id string, status string, n_turns int, title string, "
+    "doi string, n_sections int, n_figures int, n_tables int, "
+    "n_references int"
+)
+
+
+def _emit(conv_id: str, turn_idxs, texts, status: str) -> pd.DataFrame:
+    from paperslicer_spark.extraction.tei import parse_tei
+    from paperslicer_spark.sources.transcripts import assemble_payload
+
+    frags = [t for _, t in sorted(zip(turn_idxs, texts))]
+    payload = assemble_payload(frags)
+    try:
+        rec = parse_tei(payload, source_path=conv_id)
+        meta = rec["meta"]
+        row = {
+            "conv_id": conv_id, "status": status, "n_turns": len(frags),
+            "title": meta.get("title"), "doi": meta.get("doi"),
+            "n_sections": len(rec["sections"]) + len(rec["other_sections"]),
+            "n_figures": len(rec["figures"]),
+            "n_tables": len(rec["tables"]),
+            "n_references": len(rec["references"]),
+        }
+    except Exception as e:  # noqa: BLE001 — error-row model
+        row = {"conv_id": conv_id, "status": f"error:{type(e).__name__}",
+               "n_turns": len(frags), "title": None, "doi": None,
+               "n_sections": 0, "n_figures": 0, "n_tables": 0,
+               "n_references": 0}
+    return pd.DataFrame([row])
+
+
+def _assemble_fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    conv_id = key[0]
+    if state.hasTimedOut:
+        (turn_idxs, texts) = state.get
+        state.remove()
+        yield _emit(conv_id, list(turn_idxs), list(texts), "timeout")
+        return
+    turn_idxs, texts = ([], [])
+    if state.exists:
+        prev = state.get
+        turn_idxs, texts = list(prev[0]), list(prev[1])
+    complete = False
+    for pdf in pdfs:
+        for ti, tx in zip(pdf["turn_idx"], pdf["text"]):
+            if tx is None:
+                continue
+            turn_idxs.append(int(ti))
+            texts.append(tx)
+            if tx.startswith("<back"):
+                complete = True
+    if complete:
+        if state.exists:
+            state.remove()
+        yield _emit(conv_id, turn_idxs, texts, "ok")
+    else:
+        state.update((turn_idxs, texts))
+        if state.getCurrentProcessingTimeMs() >= 0:  # timeouts enabled?
+            try:
+                state.setTimeoutDuration(60_000)
+            except Exception:  # NoTimeout mode — keep state indefinitely
+                pass
+
+
+def assemble_stream(turns, with_timeout: bool = False) -> "DataFrame":  # noqa: F821
+    """turns stream → completed-document record summaries.
+
+    ``with_timeout=True`` evicts never-completing conversations after
+    60 s processing time (production setting, paired with a real
+    trigger cadence). Default is NoTimeout: under
+    ``processAllAvailable()``-style test harnesses, processing-time
+    timeouts keep scheduling evaluation batches and the call never
+    settles, so tests run without eviction.
+    """
+    return (
+        turns.groupBy("conv_id")
+        .applyInPandasWithState(
+            _assemble_fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                         if with_timeout else GroupStateTimeout.NoTimeout),
+        )
+    )

@@ -73,7 +73,7 @@ def worker(cores: int) -> None:
 
     spans_sec = best_of(lambda: force(extract_turn_spans(turns)))
     records_sec = best_of(lambda: force(sections_long(
-        parse_documents(assemble_documents(turns, salt_blocks=32)))))
+        parse_documents(assemble_documents(turns, skew_threshold=64)))))
     print(json.dumps({
         "cores": cores, "n_turns": n_turns, "n_docs": n_docs,
         "spans_sec": round(spans_sec, 3),

@@ -61,7 +61,7 @@ def main() -> None:
     review = {"auto": None, "on": True, "off": False}[args.review_mode]
 
     def transform(part):
-        docs = assemble_documents(part, salt_blocks=args.salt_blocks)
+        docs = assemble_documents(part, skew_threshold=args.salt_blocks)
         return sections_long(parse_documents(docs, review_mode=review))
 
     summary = run_with_resume(spark, turns, args.output, transform,
@@ -71,7 +71,7 @@ def main() -> None:
     spans = extract_turn_spans(turns)
     partition_lineage(spans).write.mode("overwrite").parquet(
         os.path.join(args.output, "lineage"))
-    docs = assemble_documents(turns, salt_blocks=args.salt_blocks)
+    docs = assemble_documents(turns, skew_threshold=args.salt_blocks)
     corpus_quality(parse_documents(docs, review_mode=review)).write.mode(
         "overwrite").parquet(os.path.join(args.output, "quality"))
     print("lineage + quality written")

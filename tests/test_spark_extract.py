@@ -56,6 +56,19 @@ def test_salted_assembly_identical(turns, expected_payloads):
     assert got == expected_payloads
 
 
+def test_skew_split_assembly_identical(turns, expected_payloads):
+    """Threshold chosen so the corpus's skewed conversations take the
+    salted path while the rest go direct — results must be identical."""
+    got = {r["conv_id"]: r["payload"]
+           for r in assemble_documents(turns, salt_blocks=8,
+                                       skew_threshold=20).collect()}
+    assert got == expected_payloads
+    n_skewed = sum(1 for r in
+                   turns.groupBy("conv_id").count().collect()
+                   if r["count"] > 20)
+    assert n_skewed > 0, "corpus must exercise the skewed path"
+
+
 def test_record_parity_spark_vs_reference(spark, turns, reference_modules):
     """The flagship gate: Spark-extracted records equal the reference."""
     ref_parser, _, _ = reference_modules
