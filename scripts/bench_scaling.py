@@ -29,6 +29,10 @@ sys.path.insert(0, REPO)
 
 N_DOCS = int(os.environ.get("SCALING_N_DOCS", "60000"))
 REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
+# the N and 4N "cluster sizes" (cores); a real 4N cluster also has 4×
+# the memory, so the JVM heap scales with the core count below
+N_SMALL = int(os.environ.get("SCALING_SMALL", "8"))
+N_BIG = int(os.environ.get("SCALING_BIG", str(N_SMALL * 4)))
 
 
 def corpus(spark) -> str:
@@ -49,6 +53,7 @@ def worker(cores: int) -> None:
     from paperslicer_spark.operators.spans import extract_turn_spans
     from paperslicer_spark.session import get_spark
 
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{max(cores, 8)}g")
     spark = get_spark(app_name=f"scaling-{cores}", master=f"local[{cores}]")
     spark.sparkContext.setLogLevel("ERROR")
     path = corpus(spark)
@@ -59,8 +64,11 @@ def worker(cores: int) -> None:
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
-    # warm-up (JIT + Python workers), excluded from measurement
+    # warm-up (JIT, Python workers, shuffle paths) — excluded; the
+    # first heavy job in a session additionally pays heap pre-touch
     force(extract_turn_spans(turns.limit(5000)))
+    force(sections_long(parse_documents(
+        assemble_documents(turns.sample(0.05, seed=7), skew_threshold=64))))
 
     def best_of(fn):
         best = None
@@ -86,27 +94,39 @@ def worker(cores: int) -> None:
 
 def orchestrate() -> None:
     results = {}
-    for cores in (8, 32):
+    for cores in (N_SMALL, N_BIG):
+        # Pin the process to exactly `cores` CPUs: in local mode the
+        # JVM executor threads and the pyspark.daemon workers would
+        # otherwise borrow the machine's idle cores, silently giving
+        # the small "cluster" more than N cores and corrupting the
+        # efficiency ratio. A real N-executor cluster has no spare
+        # cores to borrow.
+        pin = ["taskset", "-c", f"0-{cores - 1}"] if os.path.exists(
+            "/usr/bin/taskset") else []
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
+            pin + [sys.executable, os.path.abspath(__file__),
+                   "--worker", str(cores)],
             capture_output=True, text=True, check=True, cwd=REPO)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         results[cores] = json.loads(line)
         print(line)
 
+    ratio = N_BIG / N_SMALL
+
     def eff(metric):
-        return round((results[32][metric] / results[8][metric]) / 4, 3)
+        return round((results[N_BIG][metric] / results[N_SMALL][metric]) / ratio, 3)
 
     summary = {
-        "n_turns": results[8]["n_turns"],
+        "n_turns": results[N_SMALL]["n_turns"],
+        "cores": [N_SMALL, N_BIG],
         "spans": {
-            "local8_turns_per_sec": results[8]["spans_turns_per_sec"],
-            "local32_turns_per_sec": results[32]["spans_turns_per_sec"],
+            "small_turns_per_sec": results[N_SMALL]["spans_turns_per_sec"],
+            "big_turns_per_sec": results[N_BIG]["spans_turns_per_sec"],
             "scaling_efficiency": eff("spans_turns_per_sec"),
         },
         "records": {
-            "local8_docs_per_sec": results[8]["records_docs_per_sec"],
-            "local32_docs_per_sec": results[32]["records_docs_per_sec"],
+            "small_docs_per_sec": results[N_SMALL]["records_docs_per_sec"],
+            "big_docs_per_sec": results[N_BIG]["records_docs_per_sec"],
             "scaling_efficiency": eff("records_docs_per_sec"),
         },
         "pass_ge_0.8": eff("spans_turns_per_sec") >= 0.8,
