@@ -76,7 +76,14 @@ def run_with_resume(
         part = bucketed.where(F.col("bucket") == b)
         out = transform(part.drop("bucket")).withColumn("bucket", F.lit(b))
         out.write.mode("overwrite").partitionBy("bucket").parquet(data_dir)
-        n = spark.read.parquet(data_dir).where(F.col("bucket") == b).count()
+        # count back from the bucket's own subdir: an empty bucket
+        # writes no files, and reading the root before any data exists
+        # would fail schema inference
+        try:
+            n = spark.read.parquet(
+                os.path.join(data_dir, f"bucket={b}")).count()
+        except Exception:
+            n = 0
         total_rows += n
         manifest_row = spark.createDataFrame(
             [(b, "done", n)], "bucket int, status string, n_rows long")
