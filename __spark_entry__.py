@@ -373,6 +373,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return MX.head_frequencies(_synth_records(spark))
     q["x10_head_frequencies"] = x10_head_frequencies
 
+    def x11_multimodal_features(spark, sf):
+        from paperslicer_spark.operators.multimodal import (
+            synth_assets, extract_features)
+        return extract_features(synth_assets(spark, 64, seed=42)).orderBy(
+            "asset_id")
+    q["x11_multimodal_features"] = x11_multimodal_features
+
+    def x12_rolling_fingerprint(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id",
+                        TS.rolling_fingerprint(F.col("text")).alias("rfp"))
+    q["x12_rolling_fingerprint"] = x12_rolling_fingerprint
+
+    def x13_token_bpe(spark, sf):
+        # Java-regex lookarounds (camelCase splits) are not RE2-portable,
+        # so no DuckDB twin
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id",
+                        TS.token_count_bpe(F.col("text")).cast("bigint")
+                        .alias("bpe_tokens"))
+    q["x13_token_bpe"] = x13_token_bpe
+
+    def x14_streaming_rates(spark, sf):
+        # batch-mode execution of the streaming rollup expressions
+        from paperslicer_spark.streaming.stream_extract import (
+            streaming_turn_rates)
+        return streaming_turn_rates(_synth_turns(spark)).orderBy(
+            "window_start", "role")
+    q["x14_streaming_rates"] = x14_streaming_rates
+
     return q
 
 
