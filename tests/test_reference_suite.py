@@ -100,7 +100,7 @@ def test_random_turn_splits_are_invariant(reference_modules):
             # onto a body turn would change its classification, which no
             # real producer does)
             regrouped2, cur, cur_cls = [], "", None
-            for f, c in zip(frags, classes):
+            for f in frags:
                 cls = ("h" if f.startswith("<teiHeader") else
                        "f" if f.startswith("<facsimile") else
                        "b" if f.startswith("<back") else "y")
