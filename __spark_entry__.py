@@ -403,6 +403,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "window_start", "role")
     q["x14_streaming_rates"] = x14_streaming_rates
 
+    def x15_ivf_topk(spark, sf):
+        from paperslicer_spark.operators.similarity import ivf_topk
+        e = _t(spark, sf, "embeddings")
+        res, _model = ivf_topk(e, e.where("vec_id < 8"), k=5,
+                               n_lists=16, n_probe=4, seed=42)
+        return res.select("query_id", "neighbor_id",
+                          F.col("rank").cast("bigint").alias("rank"))
+    q["x15_ivf_topk"] = x15_ivf_topk
+
     return q
 
 

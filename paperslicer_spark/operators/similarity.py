@@ -76,6 +76,63 @@ def sign_lsh_bucket(vec_col, bits: int = 8):
     )
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_lists: int = 16, n_probe: int = 3, seed: int = 42):
+    """IVF-style approximate top-k: KMeans-partition the corpus into
+    ``n_lists`` inverted lists; each query scans only its ``n_probe``
+    nearest lists. Returns (result_df, model).
+
+    At 100 TB the corpus table is written partitioned/sorted by
+    ``list_id`` so probing prunes file scans; here the equi-join on
+    ``list_id`` expresses the same pruning.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window
+
+    feat = corpus.select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(feat)
+    assigned = model.transform(feat).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("prediction").alias("list_id"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec")).join(
+        assigned, "neighbor_id")
+
+    centers = [(i, [float(x) for x in ctr])
+               for i, ctr in enumerate(model.clusterCenters())]
+    centers_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            centers, "list_id int, center array<double>"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("list_id").asc())
+    probes = (
+        F.broadcast(q).crossJoin(centers_df)
+        .withColumn("dist", -_dot(F.col("qvec"), F.col("center")))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "qvec", "list_id")
+    )
+    scored = (
+        F.broadcast(probes).join(c, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+    return out, model
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              bits: int = 8) -> DataFrame:

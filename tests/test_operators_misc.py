@@ -156,3 +156,22 @@ def test_streaming_spans(spark, corpus_path, tmp_path):
     rates = spark.sql("select * from rates_mem")
     assert set(rates.columns) == {"window_start", "window_end", "role",
                                   "n_turns", "n_chars"}
+
+
+def test_ivf_topk(spark):
+    from paperslicer_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id < 4")
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in brute_force_topk(emb, queries, k=3).collect()}
+    approx, model = ivf_topk(emb, queries, k=3, n_lists=8, n_probe=4)
+    rows = approx.collect()
+    assert model.clusterCenters() is not None
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in rows}
+    assert set(r["query_id"] for r in rows) == {0, 1, 2, 3}
+    # recall@1 with half the lists probed should usually hit; require
+    # at least 3 of 4 queries to agree at rank 1 (deterministic seed)
+    hits = sum(1 for qid in range(4)
+               if got.get((qid, 1)) == exact.get((qid, 1)))
+    assert hits >= 3, (got, exact)
