@@ -162,6 +162,21 @@ def build_document(doc_idx: int, seed: int = 42, size_mult: int = 1) -> List[str
     body_children.append(_div("Fig. 1", rng, n_paras=1))
     if rng.random() < 0.4:
         body_children.append(_div("Abstract", rng, n_paras=1))  # body abstract wins
+    # nested divs: the reference's `.//p` makes outer divs absorb inner
+    # divs' paragraphs AND processes the inner div separately — an
+    # order-sensitive double-count that must be preserved exactly
+    if rng.random() < 0.5:
+        inner = _div("Statistical Analysis", rng, n_paras=1)
+        body_children.append(
+            f"<div><head>Results</head><p>{_para(rng)}</p>{inner}</div>")
+    # <ab> blocks count as section content like <p>
+    if rng.random() < 0.4:
+        body_children.append(
+            f"<div><head>Discussion</head><ab>{_para(rng)}</ab>"
+            f"<p>{_para(rng)}</p></div>")
+    # headless div: skipped by the reference entirely
+    if rng.random() < 0.3:
+        body_children.append(f"<div><p>{_para(rng)}</p></div>")
 
     # figures/tables
     body_children.append(
@@ -206,14 +221,20 @@ def build_document(doc_idx: int, seed: int = 42, size_mult: int = 1) -> List[str
         i += take
 
     refs = "".join(
-        f"<biblStruct xml:id=\"b{j}\"><analytic>"
-        f"<title type=\"main\">{_sent(rng, 5)[:-1]}</title>"
-        f"<author><persName><forename>{chr(65 + j % 26)}</forename>"
-        f"<surname>Ref{j}</surname></persName></author></analytic>"
-        f"<monogr><title>Proc {j}</title>"
+        "<biblStruct" + (f" xml:id=\"b{j}\"" if j % 3 != 2 else "") + ">"
+        + (
+            "<analytic>"
+            f"<title type=\"main\">{_sent(rng, 5)[:-1]}</title>"
+            f"<author><persName><forename>{chr(65 + j % 26)}</forename>"
+            f"<surname>Ref{j}</surname></persName></author></analytic>"
+            if j % 4 != 3 else ""  # monogr-only entries (book refs)
+        )
+        + f"<monogr><title>Proc {j}</title>"
         + (f"<idno type=\"DOI\">10.5555/r{doc_idx}.{j}</idno>" if j % 2 == 0 else "")
-        + f"<imprint><date type=\"published\" when=\"{1990 + j % 35}\">{1990 + j % 35}</date></imprint>"
-        "</monogr></biblStruct>"
+        + "<imprint>"
+        + (f"<date type=\"published\" when=\"{1990 + j % 35}\">{1990 + j % 35}</date>"
+           if j % 5 != 4 else f"<date when=\"{1990 + j % 35}\">{1990 + j % 35}</date>")
+        + "</imprint></monogr></biblStruct>"
         for j in range(rng.randint(2, 6))
     )
     fragments.append(f"<back><listBibl>{refs}</listBibl></back>")
