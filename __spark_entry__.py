@@ -412,6 +412,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("rank").cast("bigint").alias("rank"))
     q["x15_ivf_topk"] = x15_ivf_topk
 
+    def x16_sections_direct(spark, sf):
+        from paperslicer_spark.operators.extract import extract_sections_direct
+        docs = assemble_documents(_synth_turns(spark), skew_threshold=20)
+        return extract_sections_direct(docs).orderBy("conv_id", "section_label")
+    q["x16_sections_direct"] = x16_sections_direct
+
     return q
 
 

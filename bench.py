@@ -84,6 +84,10 @@ def main():
     timed("extract_records",
           lambda: force(sections_long(
               parse_documents(assemble_documents(turns, skew_threshold=64)))))
+    from paperslicer_spark.operators.extract import extract_sections_direct
+    timed("extract_sections_direct",
+          lambda: force(extract_sections_direct(
+              assemble_documents(turns, skew_threshold=64))))
     # analytics headliners over driver tables
     for name in ["q01_pricing_summary", "q05_priority_concat",
                  "q11_jaccard_pairs", "q12_embedding_topk",

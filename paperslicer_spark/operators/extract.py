@@ -117,6 +117,59 @@ def parse_documents(docs: DataFrame, merge_tables: bool = True,
     return docs.mapInPandas(run, schema=RECORD_SCHEMA)
 
 
+SECTIONS_SCHEMA = (
+    "conv_id string, section_label string, clean_text string, "
+    "is_canonical boolean"
+)
+
+
+def extract_sections_direct(docs: DataFrame, merge_tables: bool = True,
+                            review_mode: Optional[bool] = None) -> DataFrame:
+    """``(conv_id, payload)`` → long-form sections rows directly.
+
+    Row-equivalent to ``sections_long(parse_documents(docs))`` but the
+    explode happens inside the UDF, so only flat string rows cross the
+    Arrow boundary — no nested record structs. Use when downstream
+    needs only sections (the common 100 TB case); the full record
+    stage remains the source of figures/tables/references/meta.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        from paperslicer_spark.extraction.tei import parse_tei
+        from paperslicer_spark.extraction.merge import merge_table_entries
+        from paperslicer_spark.extraction.review import should_apply, apply_review
+
+        for pdf in batches:
+            conv_ids, labels, texts, canon = [], [], [], []
+            for conv_id, payload in zip(pdf["conv_id"], pdf["payload"]):
+                try:
+                    rec = parse_tei(payload, source_path=conv_id)
+                    if merge_tables:
+                        merge_table_entries(rec)
+                    if review_mode is True or (review_mode is None
+                                               and should_apply(rec)):
+                        apply_review(rec)
+                except Exception:  # noqa: BLE001 — error-row model
+                    continue
+                for k, v in rec["sections"].items():
+                    conv_ids.append(conv_id)
+                    labels.append(k)
+                    texts.append(v)
+                    canon.append(True)
+                for k, v in rec["other_sections"].items():
+                    conv_ids.append(conv_id)
+                    labels.append(k)
+                    texts.append(v)
+                    canon.append(False)
+            yield pd.DataFrame({
+                "conv_id": conv_ids, "section_label": labels,
+                "clean_text": texts, "is_canonical": canon,
+            })
+
+    return docs.mapInPandas(run, schema=SECTIONS_SCHEMA)
+
+
 def sections_long(records: DataFrame) -> DataFrame:
     """Exploded long-form sections table — the north_star's
     ``(conv_id, section_label, is_canonical, clean_text)`` view.

@@ -193,3 +193,15 @@ def test_exploded_views(spark, turns):
     rl = references_long(records)
     assert rl.filter("doi IS NOT NULL").count() > 0
     records.unpersist()
+
+
+def test_sections_direct_equals_records_path(spark, turns):
+    from paperslicer_spark.operators.extract import extract_sections_direct
+
+    docs = assemble_documents(turns)
+    via_records = sections_long(
+        parse_documents(docs, merge_tables=True, review_mode=None))
+    direct = extract_sections_direct(docs, merge_tables=True, review_mode=None)
+    a = sorted(map(tuple, via_records.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b
