@@ -220,8 +220,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q10_minhash"] = q10_minhash
 
     def q11_jaccard_pairs(spark, sf):
+        # max_doc_freq=50: the frequent-shingle skew cap (stop shingles
+        # in >10% of this corpus are dropped from intersections AND set
+        # sizes) — same cap expressed in the oracle SQL
         return DD.ngram_jaccard_pairs(_t(spark, sf, "documents"),
-                                      "doc_id", "text", n=3, threshold=0.2)
+                                      "doc_id", "text", n=3, threshold=0.2,
+                                      max_doc_freq=50)
     q["q11_jaccard_pairs"] = q11_jaccard_pairs
 
     def q12_embedding_topk(spark, sf):
@@ -332,8 +336,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["x02_extract_media"] = x02_extract_media
 
     def x03_extract_references(spark, sf):
-        return references_long(_synth_records(spark)).orderBy(
-            "conv_id", "ref_index")
+        # authors is array<string>; the driver canonicalizer sorts rows
+        # with pandas (lists are unhashable) — flatten to a scalar here
+        refs = references_long(_synth_records(spark))
+        return refs.withColumn(
+            "authors", F.array_join(F.col("authors"), "|")
+        ).orderBy("conv_id", "ref_index")
     q["x03_extract_references"] = x03_extract_references
 
     def x04_extract_meta(spark, sf):
@@ -376,8 +384,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x11_multimodal_features(spark, sf):
         from paperslicer_spark.operators.multimodal import (
             synth_assets, extract_features)
-        return extract_features(synth_assets(spark, 64, seed=42)).orderBy(
-            "asset_id")
+        feats = extract_features(synth_assets(spark, 64, seed=42))
+        # features is array<float> — stringify so every output column is
+        # scalar for the driver's pandas-based canonicalizer
+        return feats.withColumn(
+            "features",
+            F.array_join(
+                F.transform("features",
+                            lambda x: F.format_string("%.6f", x)), ","),
+        ).orderBy("asset_id")
     q["x11_multimodal_features"] = x11_multimodal_features
 
     def x12_rolling_fingerprint(spark, sf):
@@ -590,10 +605,12 @@ FROM sh GROUP BY doc
 """
     o["q11_jaccard_pairs"] = f"""
 WITH {_GRAMS_CTE},
- sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+ shf AS (SELECT doc, shingle FROM sh
+         QUALIFY count(*) OVER (PARTITION BY shingle) <= 50),
+ sz AS (SELECT doc, count(*) AS sz FROM shf GROUP BY doc),
  inter AS (
    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
-   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+   FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc < b.doc
    GROUP BY a.doc, b.doc)
 SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
   round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
@@ -605,7 +622,7 @@ WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.2
     o["q12_embedding_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
  s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-         list_cosine_similarity(q.qv, c.embedding) AS cos
+         round(list_cosine_similarity(q.qv, c.embedding), 6) AS cos
        FROM q, embeddings c WHERE c.vec_id <> q.query_id)
 SELECT query_id, neighbor_id, rank FROM (
   SELECT query_id, neighbor_id,

@@ -102,18 +102,27 @@ def token_count_bpe(col: Column) -> Column:
     return F.when(F.length(cleaned) == 0, F.lit(0)).otherwise(nonempty)
 
 
-def rolling_fingerprint(col: Column, window: int = 8, keep: int = 4) -> Column:
+def rolling_fingerprint(col: Column, window: int = 8, keep: int = 4,
+                        max_chars: int = 4096) -> Column:
     """Winnowing-style document fingerprint: the ``keep`` smallest
     60-bit hashes over character ``window``-grams, joined as a stable
-    hex-free string. Robust to small edits (unlike whole-doc md5)."""
-    n = F.length(col)
+    hex-free string. Robust to small edits (unlike whole-doc md5).
+
+    The gram array is O(len(text)) per row, so the input is capped at a
+    ``max_chars`` prefix: a 100 MB outlier document would otherwise
+    materialize a ~100M-element bigint array in one Tungsten row
+    (executor OOM at scale). A prefix fingerprint keeps memory flat and
+    is the documented semantic — near-dup detection on the head of the
+    document, which is where boilerplate/title duplication lives."""
+    doc = F.substring(col, 1, max_chars)
+    n = F.length(doc)
     grams = F.transform(
         F.sequence(F.lit(1), n - window + 1),
-        lambda i: F.conv(F.substring(F.md5(F.substring(col, i, window)), 1, 15),
+        lambda i: F.conv(F.substring(F.md5(F.substring(doc, i, window)), 1, 15),
                          16, 10).cast("bigint"),
     )
     smallest = F.slice(F.array_sort(grams), 1, keep)
-    return F.when(n < window, F.md5(col)).otherwise(
+    return F.when(n < window, F.md5(doc)).otherwise(
         F.array_join(F.transform(smallest, lambda x: x.cast("string")), "-"))
 
 

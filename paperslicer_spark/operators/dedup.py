@@ -27,17 +27,29 @@ def first_wins_dedup(df: DataFrame, primary_key, fallback_key,
     """Reference K2 semantics: dedup by ``primary_key`` when present
     else ``fallback_key``, keeping the first row in ``order_cols``
     arrival order. Two separate key spaces, like the reference's two
-    ``seen`` sets."""
-    key = F.when(
-        F.col(primary_key).isNotNull() & (F.trim(F.col(primary_key)) != ""),
-        F.concat(F.lit("p:"), F.lower(F.trim(F.col(primary_key)))),
-    ).otherwise(F.concat(F.lit("f:"), F.lower(F.trim(F.coalesce(F.col(fallback_key), F.lit(""))))))
+    ``seen`` sets.
+
+    Rows where BOTH keys are blank are keyless and are ALWAYS kept: the
+    reference's loop (``project.py:150-160``) writes every record whose
+    ``key = doi or title`` is empty — error rows with no metadata must
+    never collapse to one. Keyless rows skip the window (no shuffle on
+    a degenerate hot key — at scale the all-blank key would also be the
+    single most skewed reducer) and are unioned back unchanged.
+    """
+    p, fb = F.col(primary_key), F.col(fallback_key)
+    p_blank = p.isNull() | (F.trim(p) == "")
+    f_blank = fb.isNull() | (F.trim(fb) == "")
+    key = F.when(~p_blank, F.concat(F.lit("p:"), F.lower(F.trim(p)))) \
+        .otherwise(F.concat(F.lit("f:"), F.lower(F.trim(fb))))
+    keyed = df.where(~(p_blank & f_blank))
+    keyless = df.where(p_blank & f_blank)
     w = Window.partitionBy(key).orderBy(*order_cols)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
+    deduped = (
+        keyed.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    return deduped.unionByName(keyless)
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -64,16 +76,33 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        n: int = 3, threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """All pairs with token-``n``-gram Jaccard ≥ threshold.
 
     shingle-explode → equi-join on shingle (never a cross join) →
     per-pair intersection counts → sizes via broadcast-friendly join.
+
+    ``max_doc_freq`` is the frequent-shingle skew cap: a shingle present
+    in more than this many documents (a stop shingle — "of the results"
+    etc.) contributes ``df²/2`` rows to the self-join, which is the
+    quadratic blowup that kills this plan on real text. Shingles above
+    the cap are removed from BOTH the intersection and the set sizes
+    (standard stop-shingle Jaccard), via a broadcast anti-join against
+    the (tiny) hot-shingle list — the per-shingle join fan-out is then
+    bounded by ``max_doc_freq``.
     """
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -53,7 +53,11 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+            # rounded BEFORE ranking: two engines computing the same
+            # cosine in different fold orders can differ below 1e-6,
+            # flipping near-tie ranks — 6dp + neighbor_id tiebreak makes
+            # the rank deterministic across engines
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -61,7 +65,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+        .select("query_id", "neighbor_id", "rank", "cos")
     )
 
 
@@ -121,14 +125,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         F.broadcast(probes).join(c, "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
     out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+        .select("query_id", "neighbor_id", "rank", "cos")
     )
     return out, model
 
@@ -154,12 +158,12 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         F.broadcast(q).join(c, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+        .select("query_id", "neighbor_id", "rank", "cos")
     )

@@ -129,7 +129,11 @@ def orchestrate() -> None:
             "big_docs_per_sec": results[N_BIG]["records_docs_per_sec"],
             "scaling_efficiency": eff("records_docs_per_sec"),
         },
-        "pass_ge_0.8": eff("spans_turns_per_sec") >= 0.8,
+        # per-job pass flags — a blended flag would hide one failing job
+        "pass_ge_0.8": {
+            "spans": eff("spans_turns_per_sec") >= 0.8,
+            "records": eff("records_docs_per_sec") >= 0.8,
+        },
     }
     print(json.dumps(summary))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

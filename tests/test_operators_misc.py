@@ -40,6 +40,51 @@ def test_first_wins_dedup(spark):
     assert kept == {1, 3, 5}
 
 
+def test_first_wins_dedup_keyless_rows_kept(spark):
+    # reference project.py:150-160 — records whose `key = doi or title`
+    # is empty are ALWAYS written; keyless rows must never collapse
+    from paperslicer_spark.operators.dedup import first_wins_dedup
+
+    rows = [
+        (None, None, 1), (None, "", 2), ("", None, 3),   # keyless → all kept
+        ("10.1/x", None, 4), ("10.1/x", None, 5),        # doi dup → first wins
+    ]
+    df = spark.createDataFrame(rows, "doi string, title string, arrival int")
+    kept = sorted(r["arrival"] for r in
+                  first_wins_dedup(df, "doi", "title", ["arrival"]).collect())
+    assert kept == [1, 2, 3, 4]
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    from paperslicer_spark.functions.text_stats import shingles
+    from paperslicer_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 20 unrelated docs all sharing one stop shingle, plus one real
+    # duplicate pair — the stop shingle alone fans the self-join out
+    # quadratically unless capped
+    rows = [(i, f"the quick brown alpha{i} beta{i} gamma{i} delta{i}")
+            for i in range(20)]
+    rows += [(100, "the quick brown shared real content here today"),
+             (101, "the quick brown shared real content here today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                                        threshold=0.5,
+                                        max_doc_freq=5).collect()}
+    assert set(got) == {(100, 101)} and got[(100, 101)] == 1.0
+
+    # the cap bounds the join size: candidate pair rows = Σ C(df, 2)
+    sh = df.select(F.col("doc_id").alias("doc"),
+                   F.explode(shingles(F.col("text"), 3)).alias("shingle"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("c"))
+    pair_rows = F.sum(F.col("c") * (F.col("c") - 1) / 2)
+    uncapped = freq.agg(pair_rows).first()[0]
+    capped = freq.where("c <= 5").agg(pair_rows).first()[0]
+    assert uncapped >= 22 * 21 / 2    # stop-shingle blowup present
+    assert capped <= 10               # bounded after the cap
+
+
 def test_ngram_jaccard_and_minhash(docs):
     from paperslicer_spark.operators.dedup import (
         ngram_jaccard_pairs, minhash_lsh_pairs, minhash_signatures)
