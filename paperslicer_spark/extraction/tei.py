@@ -238,12 +238,34 @@ def _extract_affiliation(author_el: ET.Element) -> Optional[str]:
     return "; ".join(unique) if unique else None
 
 
-def _find_all(root: ET.Element, outer: str, inner: str) -> List[ET.Element]:
-    """All `inner` descendants under any `outer` descendant, doc order."""
-    out: List[ET.Element] = []
-    for o in root.iter(T(outer)):
-        out.extend(_desc(o, inner))
-    return out
+def _xall(root: ET.Element, steps: List[tuple]) -> List[ET.Element]:
+    """All elements matching a ``//``-style step chain from the root,
+    in document order — the reference's lxml ``_all(root, "//a//b/c")``
+    multi-match semantics (``parser.py:79-86``): each step collects
+    matches under ALL nodes from the previous step, never "first
+    container then give up if it lacks the child". ``steps`` is
+    ``[(axis, tag)]`` with axis ``'desc'`` (``//``) or ``'child'``
+    (``/``). Nested same-tag containers dedup first-wins, which
+    preserves document order for trees."""
+    nodes = [root]
+    for axis, tag in steps:
+        nxt: List[ET.Element] = []
+        seen = set()
+        for n in nodes:
+            cands = (_desc(n, tag) if axis == "desc"
+                     else [c for c in n if c.tag == T(tag)])
+            for c in cands:
+                if id(c) not in seen:
+                    seen.add(id(c))
+                    nxt.append(c)
+        if not nxt:
+            return []
+        nodes = nxt
+    return nodes
+
+
+def _first_of(els: List[ET.Element]) -> Optional[ET.Element]:
+    return els[0] if els else None
 
 
 def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
@@ -261,69 +283,41 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
     doc = _Doc(root)
 
     # ---- meta -------------------------------------------------------
-    header = next(iter(root.iter(T("teiHeader"))), None)
-
-    def _h_first(path_tags: List[str]) -> Optional[ET.Element]:
-        """First element matching a //-style descendant chain under teiHeader."""
-        if header is None:
-            return None
-        nodes = [header]
-        for tag in path_tags:
-            nxt: List[ET.Element] = []
-            for n in nodes:
-                nxt.extend(_desc(n, tag))
-            if not nxt:
-                return None
-            nodes = nxt
-        return nodes[0]
-
-    ts = _h_first(["titleStmt"])
-    title = _txt(_child(ts, "title")) if ts is not None else ""
+    # //-xpath multi-match semantics throughout (parser.py:221-231):
+    # first match across ALL teiHeaders / titleStmts / sourceDescs /
+    # biblStructs / monogrs in document order
+    title = _txt(_first_of(_xall(root, [
+        ("desc", "teiHeader"), ("desc", "titleStmt"), ("child", "title")])))
 
     doi = ""
-    journal = ""
+    for idno in _xall(root, [("desc", "teiHeader"), ("desc", "sourceDesc"),
+                             ("desc", "biblStruct"), ("desc", "idno")]):
+        if idno.get("type") == "DOI":
+            doi = _txt(idno)
+            break
+    journal = _txt(_first_of(_xall(root, [
+        ("desc", "teiHeader"), ("desc", "sourceDesc"),
+        ("desc", "biblStruct"), ("child", "monogr"), ("child", "title")])))
+
     authors: List[Dict[str, Optional[str]]] = []
-    src = _h_first(["sourceDesc"])
-    if src is not None:
-        bibls = _desc(src, "biblStruct")
-        if bibls:
-            # //sourceDesc//biblStruct//idno[@type='DOI'] — first in doc order
-            for b in bibls:
-                for idno in _desc(b, "idno"):
-                    if idno.get("type") == "DOI":
-                        doi = _txt(idno)
-                        break
-                if doi:
-                    break
-            # //sourceDesc//biblStruct/monogr/title
-            for b in bibls:
-                mono = _child(b, "monogr")
-                if mono is not None:
-                    jt = _child(mono, "title")
-                    if jt is not None:
-                        journal = _txt(jt)
-                        break
-            # //sourceDesc//biblStruct/analytic/author
-            for b in bibls:
-                ana = _child(b, "analytic")
-                if ana is None:
-                    continue
-                for a in ana.findall(T("author")):
-                    pers = _child(a, "persName")
-                    name = _txt(pers)
-                    if not name:
-                        surname = pers.find(T("surname")) if pers is not None else None
-                        if surname is not None:
-                            forename = pers.find(T("forename"))
-                            name = _txt(surname) + ", " + _txt(forename)
-                        else:
-                            name = ""
-                    name = normalize_space(name) if name else ""
-                    name_val = name or None
-                    aff = _extract_affiliation(a)
-                    if not name_val and not aff:
-                        continue
-                    authors.append({"name": name_val, "affiliation": aff})
+    for a in _xall(root, [("desc", "teiHeader"), ("desc", "sourceDesc"),
+                          ("desc", "biblStruct"), ("child", "analytic"),
+                          ("child", "author")]):
+        pers = _child(a, "persName")
+        name = _txt(pers)
+        if not name:
+            surname = pers.find(T("surname")) if pers is not None else None
+            if surname is not None:
+                forename = pers.find(T("forename"))
+                name = _txt(surname) + ", " + _txt(forename)
+            else:
+                name = ""
+        name = normalize_space(name) if name else ""
+        name_val = name or None
+        aff = _extract_affiliation(a)
+        if not name_val and not aff:
+            continue
+        authors.append({"name": name_val, "affiliation": aff})
 
     meta: Dict[str, Any] = {
         "source_path": source_path,
@@ -339,9 +333,8 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
     other_sections: Dict[str, str] = {}
     CANON = canonical_keys()
     NON_CONTENT = non_content_keys()
-    text_el = next(iter(root.iter(T("text"))), None)
-    body = _child(text_el, "body") if text_el is not None else None
-    divs = list(body.iter(T("div"))) if body is not None else []
+    # //text/body//div — ALL text elements, ALL body children
+    divs = _xall(root, [("desc", "text"), ("child", "body"), ("desc", "div")])
     for div in divs:
         head = _txt(_child(div, "head"))
         if not head:
@@ -372,25 +365,22 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
                 other_sections[head] = body_text
 
     # ---- header abstract (body div named "abstract" wins) -----------
-    if header is not None:
-        for prof in _desc(header, "profileDesc"):
-            abs_el = _child(prof, "abstract")
-            if abs_el is not None:
-                abs_txt = _txt(abs_el)
-                if abs_txt:
-                    sections.setdefault("abstract", abs_txt)
-                break
+    # //teiHeader//profileDesc/abstract — first across ALL profileDescs
+    abs_el = _first_of(_xall(root, [
+        ("desc", "teiHeader"), ("desc", "profileDesc"), ("child", "abstract")]))
+    if abs_el is not None:
+        abs_txt = _txt(abs_el)
+        if abs_txt:
+            sections.setdefault("abstract", abs_txt)
 
     # ---- keywords + abstract-append quirk ----------------------------
     keywords: List[str] = []
-    if header is not None:
-        for prof in _desc(header, "profileDesc"):
-            for tc in _desc(prof, "textClass"):
-                for kws in _desc(tc, "keywords"):
-                    for term in _desc(kws, "term"):
-                        kw = _txt(term)
-                        if kw:
-                            keywords.append(kw)
+    for term in _xall(root, [("desc", "teiHeader"), ("desc", "profileDesc"),
+                             ("desc", "textClass"), ("desc", "keywords"),
+                             ("desc", "term")]):
+        kw = _txt(term)
+        if kw:
+            keywords.append(kw)
     if keywords:
         uniq: List[str] = []
         seen_kw = set()
@@ -418,7 +408,7 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
     fig_seen = set()
     tab_seen = set()
 
-    figs = _desc(text_el, "figure") if text_el is not None else []
+    figs = _xall(root, [("desc", "text"), ("desc", "figure")])
     for fig in figs:
         ftype = (fig.get("type") or "").strip().lower()
         label_raw = _txt(_child(fig, "label"))
@@ -452,7 +442,7 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
                 figures.append(entry)
                 fig_seen.add(key)
 
-    tabs = _desc(text_el, "table") if text_el is not None else []
+    tabs = _xall(root, [("desc", "text"), ("desc", "table")])
     for tab in tabs:
         head_el = _child(tab, "head")
         label_raw = (_txt(_child(head_el, "label")) if head_el is not None else "") or None
@@ -479,7 +469,7 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
 
     # ---- fallback tables: A) <ref type="table"> anchors ---------------
     existing_labels = {t.get("label") for t in tables if t.get("label")}
-    refs = _desc(text_el, "ref") if text_el is not None else []
+    refs = _xall(root, [("desc", "text"), ("desc", "ref")])
     for ref in refs:
         if ref.get("type") != "table":
             continue
@@ -509,7 +499,7 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
         existing_labels.add(label)
 
     # ---- fallback tables: B) "Table 2. ..." paragraphs ----------------
-    paras = _desc(text_el, "p") if text_el is not None else []
+    paras = _xall(root, [("desc", "text"), ("desc", "p")])
     for p in paras:
         t = _txt(p)
         if not t:
@@ -530,11 +520,9 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
 
     # ---- references ---------------------------------------------------
     references: List[Dict[str, Any]] = []
-    back = _child(text_el, "back") if text_el is not None else None
-    bibl_structs: List[ET.Element] = []
-    if back is not None:
-        for lb in _desc(back, "listBibl"):
-            bibl_structs.extend(lb.findall(T("biblStruct")))
+    # //text/back//listBibl/biblStruct
+    bibl_structs = _xall(root, [("desc", "text"), ("child", "back"),
+                                ("desc", "listBibl"), ("child", "biblStruct")])
     for idx, bibl in enumerate(bibl_structs, start=1):
         ref_id = bibl.get(XML_ID)
         title_r = ""

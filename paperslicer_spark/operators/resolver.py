@@ -81,8 +81,20 @@ def ensure_abstract(records: DataFrame, crossref: DataFrame,
     r = r.withColumn("_needs", existing.isNull() | (F.length(existing) < 30))
     needs = F.col("_needs")
     ok = lambda c: F.when(F.length(c) >= 30, c)  # noqa: E731
-    cr_hit = F.coalesce(ok(F.col("d_cr_abs")), ok(F.col("t_cr_abs")))
-    pm_hit = F.coalesce(ok(F.col("pd_pm_abs")), ok(F.col("pt_pm_abs")))
+    has_doi = F.col("_doi_k") != ""
+    has_title = F.col("_title_k") != ""
+    # reference gating (resolver.py:22-26): the Crossref title search
+    # runs ONLY when the DOI lookup returned NO item — a doi-keyed item
+    # with a missing/short abstract does NOT fall through to the title
+    # hit, it falls through to PubMed. Exactly one "item" is chosen.
+    doi_item = has_doi & F.col("d_cr_key").isNotNull()
+    title_item = ~doi_item & has_title & F.col("t_cr_key").isNotNull()
+    cr_hit = ok(F.when(doi_item, F.col("d_cr_abs"))
+                .when(title_item, F.col("t_cr_abs")))
+    # PubMed esearch term is the DOI whenever a doi exists (pubmed.py
+    # _esearch_term): the title is used only for doi-less records
+    pm_hit = ok(F.when(has_doi, F.col("pd_pm_abs"))
+                .otherwise(F.col("pt_pm_abs")))
     new_abs = F.coalesce(cr_hit, pm_hit)
 
     filled = F.when(
@@ -93,9 +105,9 @@ def ensure_abstract(records: DataFrame, crossref: DataFrame,
         ),
     ).otherwise(F.col("sections"))
 
-    cr_field = lambda d, t: F.coalesce(  # noqa: E731
-        F.when(F.col("d_cr_abs").isNotNull(), d),
-        F.when(F.col("t_cr_abs").isNotNull(), t))
+    # meta backfill comes from the SAME item that supplied the accepted
+    # abstract (resolver.py:30-40), never from the other key's row
+    cr_field = lambda d, t: F.when(doi_item, d).when(title_item, t)  # noqa: E731
     backfill_meta = needs & cr_hit.isNotNull()
     out = (
         r.withColumn("sections", filled)

@@ -8,6 +8,12 @@ fragment has arrived (our generator's documents always close with the
 back matter), or on processing-time timeout for conversations that
 never complete (emitted with ``status='timeout'`` so no data is lost).
 
+Exactly-once per conv_id: after emission the state becomes a tombstone
+(``emitted=true``) rather than being removed, so a straggler fragment
+arriving after the record was output is dropped instead of seeding a
+second state that would later emit a duplicate. Tombstones age out via
+the same processing-time timeout (with ``with_timeout=True``).
+
 This is the engine's custom stateful operator; the reference has no
 streaming at all (SURVEY.md §2.14).
 """
@@ -20,7 +26,7 @@ import pandas as pd
 
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-STATE_SCHEMA = "turn_idxs array<int>, texts array<string>"
+STATE_SCHEMA = "turn_idxs array<int>, texts array<string>, emitted boolean"
 OUTPUT_SCHEMA = (
     "conv_id string, status string, n_turns int, title string, "
     "doi string, n_sections int, n_figures int, n_tables int, "
@@ -53,18 +59,35 @@ def _emit(conv_id: str, turn_idxs, texts, status: str) -> pd.DataFrame:
     return pd.DataFrame([row])
 
 
+def _set_timeout(state: GroupState, ms: int = 60_000) -> None:
+    if state.getCurrentProcessingTimeMs() >= 0:  # timeouts enabled?
+        try:
+            state.setTimeoutDuration(ms)
+        except Exception:  # NoTimeout mode — keep state indefinitely
+            pass
+
+
 def _assemble_fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
                  state: GroupState) -> Iterator[pd.DataFrame]:
     conv_id = key[0]
     if state.hasTimedOut:
-        (turn_idxs, texts) = state.get
+        (turn_idxs, texts, emitted) = state.get
         state.remove()
-        yield _emit(conv_id, list(turn_idxs), list(texts), "timeout")
+        if not emitted:  # tombstones age out silently, never re-emit
+            yield _emit(conv_id, list(turn_idxs), list(texts), "timeout")
         return
-    turn_idxs, texts = ([], [])
+    turn_idxs, texts, emitted = [], [], False
     if state.exists:
         prev = state.get
-        turn_idxs, texts = list(prev[0]), list(prev[1])
+        turn_idxs, texts, emitted = list(prev[0]), list(prev[1]), bool(prev[2])
+    if emitted:
+        # tombstone: this conv_id already emitted a record — a straggler
+        # fragment must NOT seed fresh state (it would later emit a
+        # duplicate near-empty 'timeout' row for the same conv_id).
+        # Drop the fragments, refresh the tombstone's eviction clock.
+        state.update(([], [], True))
+        _set_timeout(state)
+        return
     complete = False
     for pdf in pdfs:
         for ti, tx in zip(pdf["turn_idx"], pdf["text"]):
@@ -75,16 +98,14 @@ def _assemble_fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
             if tx.startswith("<back"):
                 complete = True
     if complete:
-        if state.exists:
-            state.remove()
+        # keep a tombstone (emitted=true) instead of removing state, so
+        # late fragments for an already-output conversation are ignored
+        state.update(([], [], True))
+        _set_timeout(state)
         yield _emit(conv_id, turn_idxs, texts, "ok")
     else:
-        state.update((turn_idxs, texts))
-        if state.getCurrentProcessingTimeMs() >= 0:  # timeouts enabled?
-            try:
-                state.setTimeoutDuration(60_000)
-            except Exception:  # NoTimeout mode — keep state indefinitely
-                pass
+        state.update((turn_idxs, texts, False))
+        _set_timeout(state)
 
 
 def assemble_stream(turns, with_timeout: bool = False) -> "DataFrame":  # noqa: F821

@@ -92,3 +92,38 @@ def test_ensure_abstract_join(spark):
     assert out["r4"]["sections"]["abstract"].startswith("Pubmed")
     assert out["r4"]["journal"] is None   # pubmed backfills abstract only
     assert "abstract" not in out["r5"]["sections"]
+
+
+def test_ensure_abstract_gating(spark):
+    """Reference resolver.py:22-26 — the Crossref title search runs
+    ONLY when the DOI lookup returned no item; PubMed searches by DOI
+    whenever one exists (never by title for doi-ed records)."""
+    from paperslicer_spark.operators.resolver import ensure_abstract
+
+    rows = [
+        # doi-keyed Crossref item EXISTS but its abstract is too short:
+        # must NOT fall through to the title item — goes to PubMed
+        ("g1", "10.2/x", "Titled Gx", None, {}),
+        # doi present but unknown everywhere; title known to PubMed only
+        # under the title key — reference still searches PubMed BY DOI,
+        # so no backfill happens
+        ("g2", "10.2/unknown", "Pm Title", None, {}),
+    ]
+    records = spark.createDataFrame(
+        rows, "conv_id string, doi string, title string, journal string, "
+              "sections map<string,string>")
+    crossref = spark.createDataFrame(
+        [("10.2/x", "too short", "10.2/x", "Title X", "Journal X"),
+         ("titled gx", "Title-keyed abstract long enough to accept!",
+          "10.9/wrong", "Titled Gx", "Wrong Journal")],
+        "key string, abstract string, doi string, title string, journal string")
+    pubmed = spark.createDataFrame(
+        [("10.2/x", "Pubmed doi-keyed abstract, long enough to accept."),
+         ("pm title", "Pubmed title-keyed abstract, long enough too!")],
+        "key string, abstract string")
+
+    out = {r["conv_id"]: r for r in
+           ensure_abstract(records, crossref, pubmed).collect()}
+    assert out["g1"]["sections"]["abstract"].startswith("Pubmed doi-keyed")
+    assert out["g1"]["journal"] is None   # crossref title item not used
+    assert "abstract" not in out["g2"]["sections"]

@@ -32,6 +32,50 @@ def test_write_records_jsonl_dedup(spark, tmp_path):
     assert len(glob.glob(str(tmp_path / "single") + "/part-*")) == 1
 
 
+def test_stateful_assembly_tombstone(spark, tmp_path):
+    """A straggler fragment arriving AFTER its conversation emitted must
+    be dropped by the tombstone — never re-seed state and emit a second
+    record for the same conv_id."""
+    import datetime
+
+    import pandas as pd
+
+    from paperslicer_spark.streaming.stateful_assemble import assemble_stream
+    from paperslicer_spark.streaming.stream_extract import stream_turns
+
+    src = tmp_path / "turns"
+    src.mkdir()
+    ts = datetime.datetime(2025, 1, 1)
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                          "text", "tool", "ts"])
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(src / name)
+
+    write_batch("b1.parquet", [
+        ("cx", 0, "tool",
+         "<teiHeader><fileDesc><titleStmt><title>X</title></titleStmt>"
+         "</fileDesc></teiHeader>", "gen", ts),
+        ("cx", 1, "tool", "<div><head>Results</head><p>r.</p></div>", "gen", ts),
+        ("cx", 2, "tool", "<back></back>", "gen", ts),
+    ])
+
+    q = (assemble_stream(stream_turns(spark, str(src))).writeStream
+         .format("memory").queryName("tombstone_mem").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck2")).start())
+    q.processAllAvailable()
+    # straggler for the already-emitted conversation in a later batch
+    write_batch("b2.parquet",
+                [("cx", 3, "tool", "<div><p>late straggler</p></div>",
+                  "gen", ts)])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from tombstone_mem").collect()
+    assert [(r["conv_id"], r["status"]) for r in rows] == [("cx", "ok")]
+
+
 def test_stateful_assembly_stream(spark, corpus_path, tmp_path):
     from paperslicer_spark.streaming.stateful_assemble import assemble_stream
     from paperslicer_spark.streaming.stream_extract import stream_turns

@@ -62,6 +62,53 @@ OTHER_TEI = """
 """
 
 
+# //-xpath multi-match semantics: the first titleStmt/monogr/profileDesc
+# lacks the wanted child, a later sibling has it; authors live in a
+# SECOND analytic of a SECOND biblStruct
+MULTI_CONTAINER_TEI = """
+<TEI xmlns="http://www.tei-c.org/ns/1.0">
+  <teiHeader>
+    <fileDesc>
+      <titleStmt><funder>No title here</funder></titleStmt>
+      <titleStmt><title>Second TitleStmt Title</title></titleStmt>
+      <sourceDesc><biblStruct>
+        <monogr><imprint><date type="published" when="2020"/></imprint></monogr>
+        <monogr><title>Second Monogr Journal</title></monogr>
+      </biblStruct></sourceDesc>
+      <sourceDesc><biblStruct>
+        <analytic>
+          <author><persName><forename>C</forename><surname>D</surname></persName></author>
+        </analytic>
+        <analytic>
+          <author><persName><forename>E</forename><surname>F</surname></persName></author>
+        </analytic>
+        <idno type="DOI">10.9/second-bibl</idno>
+      </biblStruct></sourceDesc>
+    </fileDesc>
+    <profileDesc><textClass><keywords><term>kw1</term></keywords></textClass></profileDesc>
+    <profileDesc><abstract>Abstract in the second profileDesc only.</abstract></profileDesc>
+  </teiHeader>
+  <text><body>
+    <div><head>Results</head><p>Body content.</p></div>
+  </body></text>
+</TEI>
+"""
+
+
+def test_multi_container_meta(reference_modules):
+    ref_parser, _, _ = reference_modules
+    ref = ref_parser.tei_to_record(MULTI_CONTAINER_TEI.encode("utf-8"),
+                                   pdf_path="/p.pdf").to_dict()
+    mine = parse_tei(MULTI_CONTAINER_TEI, source_path="/p.pdf")
+    assert json.dumps(mine, sort_keys=True) == json.dumps(ref, sort_keys=True)
+    assert mine["meta"]["title"] == "Second TitleStmt Title"
+    assert mine["meta"]["journal"] == "Second Monogr Journal"
+    assert mine["meta"]["doi"] == "10.9/second-bibl"
+    assert [a["name"] for a in mine["meta"]["authors"]] == ["C D", "E F"]
+    assert mine["sections"]["abstract"].startswith(
+        "Abstract in the second profileDesc only.")
+
+
 def test_basic_mapping_behaviour():
     rec = parse_tei(BASIC_TEI, source_path="/path/to/file.pdf")
     assert rec["meta"]["title"] == "Sample Title"
