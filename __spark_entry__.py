@@ -360,7 +360,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["x05_turn_spans"] = x05_turn_spans
 
     def x06_corpus_quality(spark, sf):
-        return MX.corpus_quality(_synth_records(spark))
+        out = MX.corpus_quality(_synth_records(spark))
+        for c in ["title_rate", "doi_or_journal_rate", "abstract_rate",
+                  "sections_ge3_rate", "sections_ge4_rate",
+                  "sections_ge5_rate", "media_rate", "avg_noise_ratio"]:
+            out = out.withColumn(c, F.round(c, 6))
+        return out
     q["x06_corpus_quality"] = x06_corpus_quality
 
     def x07_validation_scores(spark, sf):
@@ -433,6 +438,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract_sections_direct(docs).orderBy("conv_id", "section_label")
     q["x16_sections_direct"] = x16_sections_direct
 
+    def x17_truth_validation(spark, sf):
+        # ground-truth validation join: live extracted records ⋈ frozen
+        # truth maps (fixtures/truth.parquet), reference scoring weights
+        from paperslicer_spark.operators.validate import validate_against_truth
+        truth = spark.read.parquet(os.path.join(_FIX, "truth.parquet"))
+        return validate_against_truth(_synth_records(spark), truth) \
+            .orderBy("conv_id")
+    q["x17_truth_validation"] = x17_truth_validation
+
     return q
 
 
@@ -444,6 +458,10 @@ _WORDS_EXPR = (
     "CASE WHEN trim(text) = '' THEN 0 "
     "ELSE len(string_split_regex(trim(text), '\\s+')) END"
 )
+# frozen extraction-record fixtures (paperslicer_spark/fixtures.py):
+# extraction is not SQL-expressible, so record-analytics oracles
+# (x06/x07/x10/x17) run over these parity-gated parquet tables
+_FIX = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 _NOISE_CLASS = "[A-Za-z0-9 .,;:''\"!?()\\[\\]{}\\-_/\\\\%+*=<>\t\r\n]"
 _STOP_LIST = ", ".join(f"'{w}'" for w in TS.EN_STOPWORDS)
 
@@ -526,6 +544,62 @@ SELECT head,
   ELSE replace(n, ' ', '_') END AS key
 FROM norm
 """
+
+
+_CANON7 = ", ".join(f"'{k}'" for k in [
+    "abstract", "introduction", "materials_and_methods", "results",
+    "discussion", "conclusions", "results_and_discussion"])
+_CANON5 = ", ".join(f"'{k}'" for k in [
+    "introduction", "materials_and_methods", "results",
+    "discussion", "conclusions"])
+
+
+def _rec_cte() -> str:
+    """Shared per-document rollup CTEs over the frozen record fixtures."""
+    return f"""
+m AS (SELECT * FROM '{_FIX}/rec_meta.parquet'),
+s AS (SELECT conv_id,
+       count(*) AS n_secs,
+       sum(length(clean_text)) AS sum_len,
+       sum(length(regexp_replace(clean_text, '{_NOISE_CLASS}', '', 'g'))) AS sum_bad,
+       count(*) FILTER (WHERE section_label IN ({_CANON7})) AS n_canonical,
+       count(*) FILTER (WHERE section_label IN ({_CANON5})
+                        AND length(clean_text) > 0) AS n_canon5,
+       max(CASE WHEN section_label = 'abstract' THEN clean_text END) AS abs_text
+     FROM '{_FIX}/rec_sections.parquet' WHERE is_canonical GROUP BY conv_id),
+md AS (SELECT conv_id,
+        count(*) FILTER (WHERE kind = 'figure') AS n_figures,
+        count(*) FILTER (WHERE kind = 'table') AS n_tables
+      FROM '{_FIX}/rec_media.parquet' GROUP BY conv_id),
+rf AS (SELECT conv_id, count(*) AS n_references
+      FROM '{_FIX}/rec_refs.parquet' GROUP BY conv_id),
+rec AS (SELECT m.conv_id, m.title, m.doi, m.journal,
+        coalesce(s.abs_text, '') AS abs_text,
+        coalesce(length(s.abs_text), 0) AS abs_len,
+        coalesce(s.n_canonical, 0) AS n_canonical,
+        coalesce(s.n_canon5, 0) AS n_canon5,
+        coalesce(s.sum_len, 0) AS sum_len, coalesce(s.sum_bad, 0) AS sum_bad,
+        coalesce(s.n_secs, 0) AS n_secs,
+        coalesce(md.n_figures, 0) AS n_figures,
+        coalesce(md.n_tables, 0) AS n_tables,
+        coalesce(rf.n_references, 0) AS n_references
+      FROM m LEFT JOIN s USING (conv_id) LEFT JOIN md USING (conv_id)
+      LEFT JOIN rf USING (conv_id))"""
+
+
+def _fuzzy_sql(ne: str, na: str, raw_e: str, raw_a: str) -> str:
+    """Positional char-match ratio (F12) over pre-normalized columns
+    ``ne``/``na``, with the reference's RAW empty pre-check."""
+    matches = (
+        f"len(list_filter(range(1, least(length({ne}), length({na})) + 1), "
+        f"i -> substr({ne}, CAST(i AS INT), 1) = substr({na}, CAST(i AS INT), 1)))"
+    )
+    return (
+        f"CASE WHEN {raw_e} = '' OR {raw_a} = '' THEN "
+        f"  CASE WHEN {raw_e} = {raw_a} THEN 1.0 ELSE 0.0 END "
+        f"WHEN greatest(length({ne}), length({na})) = 0 THEN 1.0 "
+        f"ELSE CAST({matches} AS DOUBLE) / greatest(length({ne}), length({na})) END"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -678,5 +752,143 @@ FROM documents
 SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
   min(doc_id) AS first_doc
 FROM documents GROUP BY source, lang
+"""
+
+    # ---- record-analytics oracles over the frozen fixtures ----------
+    o["x06_corpus_quality"] = f"""
+WITH {_rec_cte()},
+ per AS (SELECT conv_id,
+   (title IS NOT NULL) AS has_title,
+   (doi IS NOT NULL OR journal IS NOT NULL) AS has_doi_or_journal,
+   (abs_len >= 30) AS abstract_present,
+   n_canonical, n_figures, n_tables, n_references,
+   (n_figures + n_tables > 0) AS has_media,
+   CASE WHEN sum_len + n_secs - 1 <= 0 THEN 0.0
+        ELSE CAST(sum_bad AS DOUBLE) / (sum_len + n_secs - 1) END AS noise,
+   lower(doi) AS doi_lc
+  FROM rec),
+ dup AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS dup_doi_docs FROM (
+   SELECT count(*) AS c FROM per WHERE doi_lc IS NOT NULL
+   GROUP BY doi_lc HAVING count(*) > 1)),
+ agg AS (SELECT count(*) AS total_docs,
+   avg(CASE WHEN has_title THEN 1.0 ELSE 0.0 END) AS title_rate,
+   avg(CASE WHEN has_doi_or_journal THEN 1.0 ELSE 0.0 END) AS doi_or_journal_rate,
+   avg(CASE WHEN abstract_present THEN 1.0 ELSE 0.0 END) AS abstract_rate,
+   avg(CASE WHEN n_canonical >= 3 THEN 1.0 ELSE 0.0 END) AS sections_ge3_rate,
+   avg(CASE WHEN n_canonical >= 4 THEN 1.0 ELSE 0.0 END) AS sections_ge4_rate,
+   avg(CASE WHEN n_canonical >= 5 THEN 1.0 ELSE 0.0 END) AS sections_ge5_rate,
+   avg(CASE WHEN has_media THEN 1.0 ELSE 0.0 END) AS media_rate,
+   CAST(sum(n_figures) AS BIGINT) AS total_figures,
+   CAST(sum(n_tables) AS BIGINT) AS total_tables,
+   CAST(sum(n_references) AS BIGINT) AS total_references,
+   avg(noise) AS avg_noise_ratio
+  FROM per)
+SELECT total_docs, round(title_rate, 6) AS title_rate,
+  round(doi_or_journal_rate, 6) AS doi_or_journal_rate,
+  round(abstract_rate, 6) AS abstract_rate,
+  round(sections_ge3_rate, 6) AS sections_ge3_rate,
+  round(sections_ge4_rate, 6) AS sections_ge4_rate,
+  round(sections_ge5_rate, 6) AS sections_ge5_rate,
+  round(media_rate, 6) AS media_rate,
+  total_figures, total_tables, total_references,
+  round(avg_noise_ratio, 6) AS avg_noise_ratio,
+  dup_doi_docs,
+  (title_rate >= 0.99) AS gate_title,
+  (doi_or_journal_rate >= 0.95) AS gate_doi_journal,
+  (abstract_rate >= 1.0) AS gate_abstract,
+  (sections_ge3_rate >= 0.85) AS gate_sections,
+  (avg_noise_ratio <= 0.02) AS gate_noise,
+  (dup_doi_docs <= total_docs * 0.01) AS gate_dup_doi
+FROM agg, dup
+"""
+
+    o["x07_validation_scores"] = f"""
+WITH {_rec_cte()}
+SELECT conv_id,
+  round((CASE WHEN title IS NOT NULL THEN 10.0 ELSE 0.0 END)
+   + (CASE WHEN doi IS NOT NULL THEN 10.0 ELSE 0.0 END)
+   + (CASE WHEN journal IS NOT NULL THEN 10.0 ELSE 0.0 END)
+   + (CASE WHEN abs_len >= 30 THEN 20.0 ELSE 0.0 END)
+   + least(n_canonical * 6.0, 30.0)
+   + least(n_figures * 5.0, 10.0)
+   + least(n_tables * 5.0, 10.0), 2) AS score
+FROM rec
+"""
+
+    o["x10_head_frequencies"] = f"""
+SELECT section_label AS head, count(*) AS count
+FROM '{_FIX}/rec_sections.parquet' WHERE NOT is_canonical GROUP BY 1
+"""
+
+    fz_f = _fuzzy_sql("n_exp_f", "n_act_f",
+                      "coalesce(abs_first50, '')", "act_f50")
+    fz_l = _fuzzy_sql("n_exp_l", "n_act_l",
+                      "coalesce(abs_last50, '')", "act_l50")
+    o["x17_truth_validation"] = f"""
+WITH {_rec_cte()},
+ t AS (SELECT * FROM '{_FIX}/truth.parquet'),
+ j AS (SELECT rec.*, t.exp_title, t.exp_doi, t.exp_journal, t.abs_present,
+         t.abs_first50, t.abs_last50, t.abs_word_count, t.exp_sections,
+         t.exp_figures, t.exp_tables
+       FROM rec JOIN t USING (conv_id)),
+ sl AS (SELECT *,
+    substr(abs_text, 1, 50) AS act_f50,
+    CASE WHEN length(abs_text) <= 50 THEN abs_text
+         ELSE substr(abs_text, length(abs_text) - 49, 50) END AS act_l50
+  FROM j),
+ nm AS (SELECT *,
+    trim(regexp_replace(coalesce(abs_first50, ''), '\\s+', ' ', 'g')) AS n_exp_f,
+    trim(regexp_replace(act_f50, '\\s+', ' ', 'g')) AS n_act_f,
+    trim(regexp_replace(coalesce(abs_last50, ''), '\\s+', ' ', 'g')) AS n_exp_l,
+    trim(regexp_replace(act_l50, '\\s+', ' ', 'g')) AS n_act_l
+  FROM sl),
+ sc AS (SELECT conv_id,
+    (CASE WHEN title IS NOT NULL AND title <> '' THEN 1.0 ELSE 0.0 END
+     + CASE WHEN title IS NOT NULL AND title <> ''
+            AND exp_title IS NOT NULL AND exp_title <> ''
+            AND (contains(lower(title), lower(exp_title))
+                 OR contains(lower(exp_title), lower(title)))
+            THEN 1.0 ELSE 0.0 END
+     + CASE WHEN doi IS NOT NULL AND doi <> '' THEN 1.0 ELSE 0.0 END
+     + CASE WHEN doi IS NOT NULL AND doi <> ''
+            AND exp_doi IS NOT NULL AND exp_doi <> '' AND doi = exp_doi
+            THEN 1.0 ELSE 0.0 END
+     + CASE WHEN journal IS NOT NULL AND journal <> '' THEN 1.0 ELSE 0.0 END
+     + CASE WHEN journal IS NOT NULL AND journal <> ''
+            AND exp_journal IS NOT NULL AND exp_journal <> ''
+            AND (contains(lower(journal), lower(exp_journal))
+                 OR contains(lower(exp_journal), lower(journal)))
+            THEN 1.0 ELSE 0.0 END) / 6.0 * 30.0 AS metadata_score,
+    CASE WHEN NOT coalesce(abs_present, false) THEN 20.0 ELSE
+      ((CASE WHEN abs_text <> '' THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN abs_text <> '' AND coalesce(abs_first50, '') <> ''
+               THEN {fz_f} ELSE 0.0 END)
+       + (CASE WHEN abs_text <> '' AND coalesce(abs_last50, '') <> ''
+               THEN {fz_l} ELSE 0.0 END)
+       + (1.0 - least(CASE WHEN abs_text <> '' AND coalesce(abs_word_count, 0) > 0
+            THEN abs((CASE WHEN trim(abs_text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(abs_text), '\\s+')) END)
+                     - abs_word_count) * 1.0 / abs_word_count
+            ELSE 0.0 END, 1.0))) / 4.0 * 20.0 END AS abstract_score,
+    CASE WHEN len(exp_sections) > 0
+         THEN least(n_canon5 * 1.0 / len(exp_sections), 1.0) * 30.0
+         ELSE 15.0 END AS sections_score,
+    CASE WHEN coalesce(exp_figures, 0) > 0
+         THEN greatest(0.0, 1.0 - abs(n_figures - exp_figures) * 1.0
+                       / exp_figures) * 10.0
+         ELSE 10.0 END AS figures_score,
+    CASE WHEN coalesce(exp_tables, 0) > 0
+         THEN greatest(0.0, 1.0 - abs(n_tables - exp_tables) * 1.0
+                       / exp_tables) * 10.0
+         ELSE 10.0 END AS tables_score
+  FROM nm)
+SELECT conv_id, round(metadata_score, 4) AS metadata_score,
+  round(abstract_score, 4) AS abstract_score,
+  round(sections_score, 4) AS sections_score,
+  round(figures_score, 4) AS figures_score,
+  round(tables_score, 4) AS tables_score,
+  round(metadata_score + abstract_score + sections_score + figures_score
+        + tables_score, 4) AS overall_score
+FROM sc
 """
     return o

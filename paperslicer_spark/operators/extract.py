@@ -78,6 +78,32 @@ def _flatten(conv_id: str, rec: dict) -> dict:
     }
 
 
+_COLS = ["conv_id", "status", "error", "title", "journal", "doi",
+         "authors", "keywords", "sections", "other_sections",
+         "figures", "tables", "references"]
+
+
+def _build_row(conv_id: str, payload: str, merge_tables: bool,
+               review_mode: Optional[bool]) -> dict:
+    """Parse one assembled payload → flat record row (error-row model)."""
+    from paperslicer_spark.extraction.tei import parse_tei
+    from paperslicer_spark.extraction.merge import merge_table_entries
+    from paperslicer_spark.extraction.review import should_apply, apply_review
+
+    try:
+        rec = parse_tei(payload, source_path=conv_id)
+        if merge_tables:
+            merge_table_entries(rec)
+        if review_mode is True or (review_mode is None and should_apply(rec)):
+            apply_review(rec)
+        return _flatten(conv_id, rec)
+    except Exception as e:  # noqa: BLE001 — error-row model
+        row = dict(_EMPTY)
+        row.update(conv_id=conv_id, status="error",
+                   error=f"{type(e).__name__}: {e}")
+        return row
+
+
 def parse_documents(docs: DataFrame, merge_tables: bool = True,
                     review_mode: Optional[bool] = None) -> DataFrame:
     """``(conv_id, payload)`` → typed record rows.
@@ -86,35 +112,92 @@ def parse_documents(docs: DataFrame, merge_tables: bool = True,
     None applies the reference heuristic (``journals/review.py:10-20``).
     """
 
-    _COLS = ["conv_id", "status", "error", "title", "journal", "doi",
-             "authors", "keywords", "sections", "other_sections",
-             "figures", "tables", "references"]
-
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
-        from paperslicer_spark.extraction.tei import parse_tei
-        from paperslicer_spark.extraction.merge import merge_table_entries
-        from paperslicer_spark.extraction.review import should_apply, apply_review
 
         for pdf in batches:
             cols: dict = {c: [] for c in _COLS}
             for conv_id, payload in zip(pdf["conv_id"], pdf["payload"]):
-                try:
-                    rec = parse_tei(payload, source_path=conv_id)
-                    if merge_tables:
-                        merge_table_entries(rec)
-                    if review_mode is True or (review_mode is None and should_apply(rec)):
-                        apply_review(rec)
-                    row = _flatten(conv_id, rec)
-                except Exception as e:  # noqa: BLE001 — error-row model
-                    row = dict(_EMPTY)
-                    row.update(conv_id=conv_id, status="error",
-                               error=f"{type(e).__name__}: {e}")
+                row = _build_row(conv_id, payload, merge_tables, review_mode)
                 for c in _COLS:
                     cols[c].append(row[c])
             yield pd.DataFrame(cols)
 
     return docs.mapInPandas(run, schema=RECORD_SCHEMA)
+
+
+def parse_turns_fused(turns: DataFrame, merge_tables: bool = True,
+                      review_mode: Optional[bool] = None,
+                      conv_aligned: bool = False,
+                      partitions: Optional[int] = None,
+                      batch_rows: int = 512) -> DataFrame:
+    """Transcript turns → typed records with NO payload shuffle — the
+    scale path, row-identical to ``parse_documents(assemble_documents(
+    turns))`` (parity-enforced in tests/test_spark_extract.py).
+
+    The agg path shuffles every assembled payload byte through a
+    ``collect_list`` + ``array_sort`` of multi-KB strings and then
+    ships it across the Arrow boundary; measured, that JVM agg stage is
+    the records pipeline's non-scaling term (BENCH/scaling.json round 2
+    decomposition: ~10 s floor regardless of cores). Here the only
+    shuffle is a plain hash ``repartition`` of RAW turn rows on
+    ``conv_id`` — no aggregation state, no big-array sort — rows are
+    sorted within partitions, and per-conversation assembly happens
+    INSIDE the same ``mapInPandas`` that parses: turn bytes cross the
+    JVM↔Python boundary exactly once, compact records come back.
+
+    ``conv_aligned=True`` additionally skips the repartition for
+    sources whose layout guarantees a conversation never straddles
+    partitions (the 100 TB deployment: Iceberg table bucketed by
+    ``conv_id``, sorted by ``turn_idx`` — plans/checkpoint.py DDL);
+    the stage is then a pure map, like the spans hot path.
+
+    Long-conversation skew: a 1000× conversation is one Python group
+    inside one task (bounded by its own payload size), never a hot
+    reducer materializing a 10^5-element array — the skew-split salted
+    agg remains available in assemble_documents for sources where even
+    single payloads must be pre-reduced.
+    """
+    t = turns.select("conv_id", "turn_idx", "text")
+    if not conv_aligned:
+        n = partitions or t.sparkSession.sparkContext.defaultParallelism * 2
+        t = t.repartition(n, "conv_id")
+    # text tiebreak mirrors array_sort(struct(pos,text)) in the agg path
+    t = t.sortWithinPartitions("conv_id", "turn_idx", "text")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        from paperslicer_spark.sources.transcripts import assemble_payload
+
+        cols: dict = {c: [] for c in _COLS}
+        state = {"n": 0, "conv": None, "frags": []}
+
+        def close_conv():
+            row = _build_row(state["conv"], assemble_payload(state["frags"]),
+                             merge_tables, review_mode)
+            for c in _COLS:
+                cols[c].append(row[c])
+            state["n"] += 1
+
+        for pdf in batches:
+            for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
+                if conv_id != state["conv"]:
+                    if state["conv"] is not None:
+                        close_conv()
+                    state["conv"], state["frags"] = conv_id, []
+                if text:  # null/empty fragments skipped (agg-path parity)
+                    state["frags"].append(text)
+            if state["n"] >= batch_rows:
+                yield pd.DataFrame(cols)
+                for c in _COLS:
+                    cols[c] = []
+                state["n"] = 0
+        if state["conv"] is not None:
+            close_conv()
+        if state["n"]:
+            yield pd.DataFrame(cols)
+
+    return t.mapInPandas(run, schema=RECORD_SCHEMA)
 
 
 SECTIONS_SCHEMA = (

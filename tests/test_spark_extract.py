@@ -195,6 +195,51 @@ def test_exploded_views(spark, turns):
     records.unpersist()
 
 
+def _record_key(r):
+    return json.dumps(r.asDict(recursive=True), sort_keys=True)
+
+
+def test_fused_parse_equals_agg_path(spark, turns):
+    """parse_turns_fused (no payload shuffle) must be row-identical to
+    assemble_documents → parse_documents, including the skewed tail."""
+    from paperslicer_spark.operators.extract import parse_turns_fused
+
+    via_agg = parse_documents(
+        assemble_documents(turns, skew_threshold=20), review_mode=None)
+    fused = parse_turns_fused(turns, review_mode=None, partitions=7)
+    a = sorted(_record_key(r) for r in via_agg.collect())
+    b = sorted(_record_key(r) for r in fused.collect())
+    assert a == b
+    # small batch_rows exercises the cross-batch conversation carry
+    tiny = parse_turns_fused(turns, review_mode=None, partitions=3,
+                             batch_rows=2)
+    c = sorted(_record_key(r) for r in tiny.collect())
+    assert a == c
+
+
+def test_fused_parse_error_rows(spark):
+    """A malformed conversation yields an error row, never a task
+    failure — and never poisons its partition neighbors."""
+    from paperslicer_spark.operators.extract import parse_turns_fused
+
+    rows = [
+        ("bad", 0, "tool", "not xml <<<", "gen", None),
+        ("good", 0, "tool",
+         "<teiHeader><fileDesc><titleStmt><title>T</title></titleStmt>"
+         "</fileDesc></teiHeader>", "gen", None),
+        ("good", 1, "tool", "<div><head>Results</head><p>r.</p></div>",
+         "gen", None),
+        ("good", 2, "tool", None, "gen", None),   # null fragment skipped
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = {r["conv_id"]: r for r in parse_turns_fused(turns).collect()}
+    assert out["bad"]["status"] == "error" and out["bad"]["error"]
+    assert out["good"]["status"] == "ok"
+    assert out["good"]["title"] == "T"
+
+
 def test_sections_direct_equals_records_path(spark, turns):
     from paperslicer_spark.operators.extract import extract_sections_direct
 
