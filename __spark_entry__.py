@@ -40,6 +40,7 @@ from paperslicer_spark.operators import similarity as SIM
 from paperslicer_spark.operators.assemble import assemble_documents
 from paperslicer_spark.operators.extract import (
     parse_documents,
+    parse_turns_fused,
     sections_long,
     media_long,
     references_long,
@@ -82,10 +83,11 @@ def _docs_as_transcripts(docs: DataFrame) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction over sf0.001 documents wrapped as
-    transcripts — assemble → parse → long-form sections."""
+    transcripts — fused no-payload-shuffle parse → long-form sections
+    (row-identical to assemble → parse, pytest-enforced)."""
     docs = _t(spark, "/root/testdata/sf0.001", "documents")
     turns = _docs_as_transcripts(docs)
-    records = parse_documents(assemble_documents(turns))
+    records = parse_turns_fused(turns)
     return sections_long(records).orderBy("conv_id", "section_label")
 
 
@@ -102,8 +104,9 @@ def _synth_turns(spark: SparkSession) -> DataFrame:
 
 
 def _synth_records(spark: SparkSession) -> DataFrame:
-    return parse_documents(assemble_documents(_synth_turns(spark),
-                                              skew_threshold=20))
+    # fused flagship path; row-identical to parse_documents(
+    # assemble_documents(...)) — tests/test_spark_extract.py parity
+    return parse_turns_fused(_synth_turns(spark), partitions=8)
 
 
 # ---------------------------------------------------------------------------
@@ -446,6 +449,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return validate_against_truth(_synth_records(spark), truth) \
             .orderBy("conv_id")
     q["x17_truth_validation"] = x17_truth_validation
+
+    def x18_mapping_suggestions(spark, sf):
+        return MX.mapping_suggestions(_synth_records(spark))
+    q["x18_mapping_suggestions"] = x18_mapping_suggestions
+
+    def x19_pixel_filters(spark, sf):
+        # pixel-content media filter over the fake-codec assets:
+        # (kept vs dropped) content stats, deterministic corpus
+        from paperslicer_spark.operators.multimodal import (
+            content_stats, filter_blank_lowink, synth_assets)
+        assets = synth_assets(spark, 64, seed=42)
+        kept = filter_blank_lowink(assets).select("asset_id") \
+            .withColumn("kept", F.lit(True))
+        return (
+            content_stats(assets)
+            .join(kept, "asset_id", "left")
+            .select("asset_id", "kind", "width", "height",
+                    F.round("px_std", 4).alias("px_std"),
+                    F.round("ink_fraction", 6).alias("ink_fraction"),
+                    F.coalesce(F.col("kept"), F.lit(False)).alias("kept"))
+            .orderBy("asset_id")
+        )
+    q["x19_pixel_filters"] = x19_pixel_filters
 
     return q
 
@@ -818,6 +844,36 @@ FROM rec
     o["x10_head_frequencies"] = f"""
 SELECT section_label AS head, count(*) AS count
 FROM '{_FIX}/rec_sections.parquet' WHERE NOT is_canonical GROUP BY 1
+"""
+
+    sanitize_head = (
+        "trim(regexp_replace(regexp_replace(regexp_replace(lower(trim(head)),"
+        " '^[|>•\\-–—\\s]+', ''),"
+        " '(?i)^(?:[ivxlcdm]+\\.|\\d+(?:\\.\\d+)*\\.?)[\\s\\-:]*', ''),"
+        " '\\s+', ' ', 'g'))"
+    )
+    sugg_whens = "\n".join(
+        "WHEN (" + " OR ".join(f"contains(n, '{k}')" for k in kws)
+        + f") THEN '{key}'"
+        for key, kws in [
+            ("materials_and_methods",
+             ("analysis", "analyses", "examination", "examinations",
+              "assessment", "selection", "extraction", "imaging",
+              "radiographic", "protocol")),
+            ("introduction",
+             ("objective", "objectives", "aim", "purpose", "background")),
+            ("discussion", ("limitation", "strength")),
+            ("conclusions", ("conclusion", "clinical significance")),
+        ])
+    o["x18_mapping_suggestions"] = f"""
+WITH heads AS (
+  SELECT section_label AS head, count(*) AS count
+  FROM '{_FIX}/rec_sections.parquet' WHERE NOT is_canonical GROUP BY 1),
+ norm AS (SELECT head, count, {sanitize_head} AS n FROM heads)
+SELECT head,
+  CASE {sugg_whens} END AS suggestion, count
+FROM norm
+WHERE n <> '' AND (CASE {sugg_whens} END) IS NOT NULL
 """
 
     fz_f = _fuzzy_sql("n_exp_f", "n_act_f",

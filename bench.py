@@ -80,11 +80,19 @@ def main():
 
     # north-metric hot path: per-turn span extraction (map-only)
     timed("extract_turn_spans", lambda: force(extract_turn_spans(turns)))
-    # full document pipeline: assemble (salted) → parse → sections
+    # flagship document pipeline: fused no-shuffle parse on the conv-
+    # aligned layout (this corpus is generated bucketed-by-conversation,
+    # like the 100 TB Iceberg deployment; parse_turns_fused docstring)
+    from paperslicer_spark.operators.extract import (
+        extract_sections_direct, parse_turns_fused)
     timed("extract_records",
           lambda: force(sections_long(
+              parse_turns_fused(turns, conv_aligned=True))))
+    # legacy two-phase salted-agg path (kept for comparison — the
+    # collect_list payload shuffle is its measured non-scaling term)
+    timed("extract_records_salted_agg",
+          lambda: force(sections_long(
               parse_documents(assemble_documents(turns, skew_threshold=64)))))
-    from paperslicer_spark.operators.extract import extract_sections_direct
     timed("extract_sections_direct",
           lambda: force(extract_sections_direct(
               assemble_documents(turns, skew_threshold=64))))

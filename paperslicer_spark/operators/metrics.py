@@ -82,6 +82,53 @@ def head_frequencies(records: DataFrame) -> DataFrame:
     )
 
 
+# suggestion keyword rules — reference evaluate_corpus.py:314-337
+# (deliberately distinct from the section-mapping keyword lists)
+SUGGEST_RULES = [
+    ("materials_and_methods", ("analysis", "analyses", "examination",
+                               "examinations", "assessment", "selection",
+                               "extraction", "imaging", "radiographic",
+                               "protocol")),
+    ("introduction", ("objective", "objectives", "aim", "purpose",
+                      "background")),
+    ("discussion", ("limitation", "strength")),
+    ("conclusions", ("conclusion", "clinical significance")),
+]
+
+
+def _sanitize_col(c) -> F.Column:
+    """JVM twin of functions.sections.sanitize_heading (F1)."""
+    s = F.lower(F.trim(c))
+    s = F.regexp_replace(s, r"^[|>•\-–—\s]+", "")
+    s = F.regexp_replace(s, r"(?i)^(?:[ivxlcdm]+\.|\d+(?:\.\d+)*\.?)[\s\-:]*", "")
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def mapping_suggestions(records: DataFrame, min_count: int = 1) -> DataFrame:
+    """K6 mapping-suggestions report (reference
+    ``evaluate_corpus.py:306-337,408-412``): frequent unmapped heads
+    re-run through the suggestion keyword rules → suggested canonical
+    key, most-frequent first. Input aggregation is head_frequencies
+    (already a per-head rollup), so this stage is broadcast-tiny."""
+    heads = head_frequencies(records).where(F.col("count") >= min_count)
+    n = _sanitize_col(F.col("head"))
+
+    def any_kw(kws):
+        cond = F.lit(False)
+        for k in kws:
+            cond = cond | (F.instr(n, k) > 0)
+        return cond
+
+    suggestion = F.lit(None).cast("string")
+    for key, kws in reversed(SUGGEST_RULES):  # first rule wins
+        suggestion = F.when(any_kw(kws), F.lit(key)).otherwise(suggestion)
+    return (
+        heads.select("head", suggestion.alias("suggestion"), "count")
+        .where((n != "") & F.col("suggestion").isNotNull())
+        .orderBy(F.desc("count"), F.asc("head"))
+    )
+
+
 def validation_scores(records: DataFrame) -> DataFrame:
     """A9-shaped weighted per-doc score (0-100): metadata 30% +
     abstract 20% + sections 30% + figures 10% + tables 10%."""

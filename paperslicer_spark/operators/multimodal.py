@@ -62,6 +62,16 @@ def decode_fake_image(payload: bytes, strict: bool = False):
     return w, h, _FMTS[f], pixels
 
 
+def encode_pixels(pixels, fmt: str = "png") -> bytes:
+    """Wrap an explicit uint8 HxW pixel buffer in the fake-codec
+    container — the fixture hook for content-dependent tests (blank
+    pages, drawn rectangles), mirroring what a real encoder would
+    produce."""
+    h, w = pixels.shape
+    return (_MAGIC + struct.pack("<HHB", w, h, _FMTS.index(fmt))
+            + pixels.astype("uint8").reshape(-1).tobytes())
+
+
 def synth_assets(spark, n_assets: int, seed: int = 42,
                  partitions: int | None = None) -> DataFrame:
     """Distributed deterministic asset table generation."""
@@ -123,6 +133,134 @@ def extract_features(assets: DataFrame, n_bins: int = 8) -> DataFrame:
             yield pd.DataFrame(cols)
 
     return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def content_stats(assets: DataFrame, dark_threshold: int = 128) -> DataFrame:
+    """Per-asset pixel-content statistics: std of the pixel buffer and
+    the fraction of "ink" (dark) pixels. The decode step is the fake
+    codec; a real deployment swaps PIL in at ``decode_fake_image``."""
+
+    schema = ("asset_id long, conv_id string, kind string, width int, "
+              "height int, px_std double, ink_fraction double")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            cols = {k: [] for k in ["asset_id", "conv_id", "kind", "width",
+                                    "height", "px_std", "ink_fraction"]}
+            for aid, cid, kind, payload in zip(
+                pdf["asset_id"], pdf["conv_id"], pdf["kind"], pdf["payload"]
+            ):
+                dec = decode_fake_image(bytes(payload))
+                if dec is None:
+                    continue
+                w, h, _, px = dec
+                cols["asset_id"].append(int(aid))
+                cols["conv_id"].append(cid)
+                cols["kind"].append(kind)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["px_std"].append(float(np.std(px)))
+                cols["ink_fraction"].append(
+                    float((px < dark_threshold).mean()))
+            yield pd.DataFrame(cols)
+
+    return assets.mapInPandas(run, schema=schema)
+
+
+def filter_blank_lowink(assets: DataFrame, min_std: float = 1.0,
+                        min_ink: float = 0.02) -> DataFrame:
+    """§2.11 pixel-content media filter (reference spec
+    ``tests/test_media_filters.py:33-48,116-123`` — the module it tests
+    does not exist in the reference tree; these are its specified
+    behaviors): drop assets whose decoded pixels are blank (near-zero
+    variance, e.g. an empty page render) or low-ink (dark fraction
+    below ``min_ink`` — a 30×30 blob on a 400×400 page is noise, not a
+    figure). Pass-through map, payload kept for downstream sinks."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            keep = []
+            for i, payload in enumerate(pdf["payload"]):
+                dec = decode_fake_image(bytes(payload))
+                if dec is None:
+                    keep.append(False)
+                    continue
+                _, _, _, px = dec
+                blank = float(np.std(px)) < min_std
+                low_ink = float((px < 128).mean()) < min_ink
+                keep.append(not blank and not low_ink)
+            yield pdf[np.array(keep, dtype=bool)] if len(pdf) else pdf
+
+    return assets.mapInPandas(run, schema=assets.schema)
+
+
+class TableRegionValidator:
+    """Region-content validator (reference spec
+    ``tests/test_media_filters.py:52-105``): a detector-proposed table
+    region is valid when the cropped region is non-degenerate and shows
+    ink structure — here ink fraction within ``[min_ink, max_ink]`` and
+    both sides ≥ ``min_side`` px; a real implementation would run line
+    detection on the PDF render. ``close()`` mirrors the reference's
+    resource-holding validator interface."""
+
+    def __init__(self, min_side: int = 8, min_ink: float = 0.005,
+                 max_ink: float = 0.98):
+        self.min_side = min_side
+        self.min_ink = min_ink
+        self.max_ink = max_ink
+
+    def is_valid(self, payload: bytes, bbox) -> bool:
+        dec = decode_fake_image(bytes(payload))
+        if dec is None:
+            return False
+        w, h, _, px = dec
+        x0, y0, x1, y1 = (int(bbox[k]) for k in ("x0", "y0", "x1", "y1")) \
+            if isinstance(bbox, dict) else (int(v) for v in bbox)
+        x0, y0 = max(x0, 0), max(y0, 0)
+        x1, y1 = min(x1, w), min(y1, h)
+        if x1 - x0 < self.min_side or y1 - y0 < self.min_side:
+            return False
+        region = px.reshape(h, w)[y0:y1, x0:x1]
+        ink = float((region < 128).mean())
+        return self.min_ink <= ink <= self.max_ink
+
+    def close(self) -> None:  # interface parity with the reference spec
+        pass
+
+
+def validate_table_regions(assets: DataFrame,
+                           detector_source: str = "detector-table",
+                           **validator_kw) -> DataFrame:
+    """Drop detector-proposed table assets whose bbox region fails
+    :class:`TableRegionValidator`; rows from other sources (or without
+    a bbox) pass through — the reference spec validates only
+    detector-table entries. Expects a ``bbox`` struct column
+    ``(x0,y0,x1,y1)`` in pixel coordinates."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        v = TableRegionValidator(**validator_kw)
+        try:
+            for pdf in batches:
+                keep = []
+                for src, payload, bbox in zip(
+                    pdf["source"], pdf["payload"], pdf["bbox"]
+                ):
+                    if src != detector_source or bbox is None:
+                        keep.append(True)
+                        continue
+                    keep.append(v.is_valid(bytes(payload), bbox))
+                yield pdf[np.array(keep, dtype=bool)] if len(pdf) else pdf
+        finally:
+            v.close()
+
+    return assets.mapInPandas(run, schema=assets.schema)
 
 
 def resize_assets(assets: DataFrame, max_side: int = 32) -> DataFrame:

@@ -45,6 +45,26 @@ def write_records_jsonl_dedup(records: DataFrame, path: str) -> None:
     deduped.write.mode("overwrite").json(path)
 
 
+def write_mapping_suggestions(suggestions: DataFrame, out_dir: str) -> None:
+    """K6 report sink: ``mapping_suggestions.{json,txt}`` in the
+    reference's exact shapes (``evaluate_corpus.py:408-412`` — json is
+    a head→key object, txt is ``head -> key`` lines, most-frequent
+    first). Driver-side single-file write is correct here: the input is
+    already a per-head rollup, tiny by construction."""
+    import json
+    import os
+
+    rows = suggestions.collect()
+    sugg = {r["head"]: r["suggestion"] for r in rows}
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "mapping_suggestions.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(sugg, f, ensure_ascii=False, indent=2)
+    with open(os.path.join(out_dir, "mapping_suggestions.txt"), "w",
+              encoding="utf-8") as f:
+        f.write("\n".join(f"{k} -> {v}" for k, v in sugg.items()))
+
+
 def write_small_export(df: DataFrame, path: str, max_rows: int = 100_000) -> None:
     """K3: single-file export, guarded against large results."""
     n = df.count()

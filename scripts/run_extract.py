@@ -41,11 +41,16 @@ def main() -> None:
                     help="turns per salt block for skewed conversations")
     ap.add_argument("--review-mode", choices=["auto", "on", "off"],
                     default="auto")
+    ap.add_argument("--assembly", choices=["fused", "salted-agg"],
+                    default="fused",
+                    help="fused = no-payload-shuffle parse (default); "
+                         "salted-agg = two-phase salted aggregation path")
     args = ap.parse_args()
 
     from paperslicer_spark.session import get_spark
     from paperslicer_spark.operators.assemble import assemble_documents
-    from paperslicer_spark.operators.extract import parse_documents, sections_long
+    from paperslicer_spark.operators.extract import (
+        parse_documents, parse_turns_fused, sections_long)
     from paperslicer_spark.operators.metrics import (
         corpus_quality, partition_lineage)
     from paperslicer_spark.operators.spans import extract_turn_spans
@@ -60,9 +65,15 @@ def main() -> None:
 
     review = {"auto": None, "on": True, "off": False}[args.review_mode]
 
+    def records_of(part):
+        if args.assembly == "fused":
+            return parse_turns_fused(part, review_mode=review)
+        return parse_documents(
+            assemble_documents(part, skew_threshold=args.salt_blocks),
+            review_mode=review)
+
     def transform(part):
-        docs = assemble_documents(part, skew_threshold=args.salt_blocks)
-        return sections_long(parse_documents(docs, review_mode=review))
+        return sections_long(records_of(part))
 
     summary = run_with_resume(spark, turns, args.output, transform,
                               n_buckets=args.buckets)
@@ -71,8 +82,7 @@ def main() -> None:
     spans = extract_turn_spans(turns)
     partition_lineage(spans).write.mode("overwrite").parquet(
         os.path.join(args.output, "lineage"))
-    docs = assemble_documents(turns, skew_threshold=args.salt_blocks)
-    corpus_quality(parse_documents(docs, review_mode=review)).write.mode(
+    corpus_quality(records_of(turns)).write.mode(
         "overwrite").parquet(os.path.join(args.output, "quality"))
     print("lineage + quality written")
     spark.stop()

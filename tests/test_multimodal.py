@@ -56,3 +56,85 @@ def test_generation_is_deterministic(spark):
     b = {r["asset_id"]: bytes(r["payload"])
          for r in synth_assets(spark, 8, seed=42, partitions=3).collect()}
     assert a == b
+
+
+def _img(fill=255, rect=None, w=256, h=256):
+    """White canvas with an optional dark rectangle — mirrors the
+    reference spec's PIL fixtures (tests/test_media_filters.py)."""
+    import numpy as np
+
+    from paperslicer_spark.operators.multimodal import encode_pixels
+
+    px = np.full((h, w), fill, dtype=np.uint8)
+    if rect:
+        x0, y0, x1, y1, v = rect
+        px[y0:y1, x0:x1] = v
+    return encode_pixels(px)
+
+
+def test_filter_blank_and_lowink(spark):
+    """Reference spec: blank page render dropped; informative figure
+    kept; low-content (tiny blob) dropped."""
+    from paperslicer_spark.operators.multimodal import filter_blank_lowink
+
+    rows = [
+        (0, _img()),                                        # blank
+        (1, _img(rect=(40, 40, 200, 200, 0))),              # informative
+        (2, _img(rect=(10, 10, 40, 40, 0), w=400, h=400)),  # low-content
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    kept = {r["asset_id"] for r in filter_blank_lowink(df).collect()}
+    assert kept == {1}
+
+
+def test_table_region_validator(spark):
+    from paperslicer_spark.operators.multimodal import (
+        TableRegionValidator, validate_table_regions)
+
+    v = TableRegionValidator()
+    framed = _img(rect=(10, 10, 390, 290, 0), w=400, h=300)
+    blank = _img(w=400, h=300)
+    assert v.is_valid(framed, {"x0": 0, "y0": 0, "x1": 400, "y1": 300})
+    assert not v.is_valid(blank, {"x0": 0, "y0": 0, "x1": 400, "y1": 300})
+    assert not v.is_valid(framed, {"x0": 0, "y0": 0, "x1": 4, "y1": 4})
+    v.close()
+
+    rows = [
+        (0, "detector-table", framed, {"x0": 0, "y0": 0, "x1": 400, "y1": 300}),
+        (1, "detector-table", blank, {"x0": 0, "y0": 0, "x1": 400, "y1": 300}),
+        (2, "tei+tei-render", blank, {"x0": 0, "y0": 0, "x1": 400, "y1": 300}),
+        (3, "detector-table", framed, None),   # no bbox → pass through
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, source string, payload binary, "
+              "bbox struct<x0:int,y0:int,x1:int,y1:int>")
+    kept = {r["asset_id"] for r in validate_table_regions(df).collect()}
+    assert kept == {0, 2, 3}
+
+
+def test_mapping_suggestions(spark, tmp_path):
+    from paperslicer_spark.operators.metrics import mapping_suggestions
+    from paperslicer_spark.operators.sinks import write_mapping_suggestions
+
+    rows = [
+        ("c1", [{"head": "Bayesian Meta-Analysis", "text": "t"},
+                {"head": "2.1 Aims of the work", "text": "t"},
+                {"head": "| Limitations", "text": "t"},
+                {"head": "Unmatched Heading", "text": "t"}]),
+        ("c2", [{"head": "Bayesian Meta-Analysis", "text": "t"}]),
+    ]
+    records = spark.createDataFrame(
+        rows, "conv_id string, other_sections array<struct<head:string,text:string>>")
+    got = {r["head"]: (r["suggestion"], r["count"])
+           for r in mapping_suggestions(records).collect()}
+    assert got["Bayesian Meta-Analysis"] == ("materials_and_methods", 2)
+    assert got["2.1 Aims of the work"][0] == "introduction"
+    assert got["| Limitations"][0] == "discussion"
+    assert "Unmatched Heading" not in got
+
+    write_mapping_suggestions(mapping_suggestions(records), str(tmp_path))
+    import json
+    sugg = json.loads((tmp_path / "mapping_suggestions.json").read_text())
+    assert sugg["Bayesian Meta-Analysis"] == "materials_and_methods"
+    txt = (tmp_path / "mapping_suggestions.txt").read_text()
+    assert "| Limitations -> discussion" in txt

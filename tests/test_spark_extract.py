@@ -215,6 +215,11 @@ def test_fused_parse_equals_agg_path(spark, turns):
                              batch_rows=2)
     c = sorted(_record_key(r) for r in tiny.collect())
     assert a == c
+    # conv-aligned (zero-shuffle) variant: the test corpus is a single
+    # file, so the layout guarantee holds trivially
+    aligned = parse_turns_fused(turns, review_mode=None, conv_aligned=True)
+    d = sorted(_record_key(r) for r in aligned.collect())
+    assert a == d
 
 
 def test_fused_parse_error_rows(spark):
