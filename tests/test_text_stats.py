@@ -73,3 +73,18 @@ def test_quality_score_bounds(docs):
     scores = [r["v"] for r in docs.select(
         "doc_id", TS.quality_score(F.col("text")).alias("v")).collect()]
     assert all(0 <= s <= 100 for s in scores)
+
+
+def test_rolling_fingerprint_long_doc_capped(spark):
+    """The gram array is capped at a 4096-char prefix: a 1 MB outlier
+    document must not materialize a 1M-element array per row (flat
+    memory at scale), and two docs sharing the prefix fingerprint
+    identically."""
+    long_a = ("lorem ipsum dolor sit amet " * 200)[:4096] + "X" * 500_000
+    long_b = ("lorem ipsum dolor sit amet " * 200)[:4096] + "Y" * 500_000
+    df = spark.createDataFrame([(1, long_a), (2, long_b)],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r["v"] for r in df.select(
+        "doc_id", TS.rolling_fingerprint(F.col("text")).alias("v")).collect()}
+    assert rows[1] == rows[2]          # prefix-identical → same fingerprint
+    assert rows[1].count("-") == 3     # keep=4 hashes joined
