@@ -410,8 +410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["x12_rolling_fingerprint"] = x12_rolling_fingerprint
 
     def x13_token_bpe(spark, sf):
-        # Java-regex lookarounds (camelCase splits) are not RE2-portable,
-        # so no DuckDB twin
+        # Java-regex lookarounds (camelCase splits) are not RE2-portable;
+        # the DuckDB twin counts equivalently as nonempty-alnum-runs +
+        # camel boundaries ([a-z][A-Z] matches can never overlap)
         d = _t(spark, sf, "documents")
         return d.select("doc_id",
                         TS.token_count_bpe(F.col("text")).cast("bigint")
@@ -780,6 +781,40 @@ SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_c
 FROM documents GROUP BY source, lang
 """
 
+    # ---- extraction-view oracles: deterministic-reproduction checks -
+    # The TEI parse itself is not SQL-expressible; these oracles verify
+    # the LIVE pipeline reproduces the frozen parity-gated copy of its
+    # own output (fixtures/, regenerated by scripts/freeze_fixtures.py,
+    # gated by tests/test_fixture_freeze.py + the byte-parity suite) —
+    # a regression tripwire rather than an independent recomputation.
+    o["x01_extract_sections"] = f"""
+SELECT conv_id, section_label, clean_text, is_canonical
+FROM '{_FIX}/rec_sections.parquet'
+"""
+    # x16 is row-identical to x01 by construction (explode inside vs
+    # outside the fused UDF) — same reproduction oracle
+    o["x16_sections_direct"] = o["x01_extract_sections"]
+    o["x05_turn_spans"] = f"""
+SELECT conv_id, turn_idx, unit_idx, kind, section_label,
+  char_start, char_end, clean_text
+FROM '{_FIX}/rec_spans.parquet'
+"""
+    o["x02_extract_media"] = f"""
+SELECT conv_id, kind, pos, label, caption,
+  CAST(NULL AS VARCHAR) AS path, source, coords
+FROM '{_FIX}/rec_media.parquet'
+"""
+    o["x03_extract_references"] = f"""
+SELECT conv_id, ref_index, text, ref_id, title, doi, year, authors
+FROM '{_FIX}/rec_refs.parquet'
+"""
+    o["x04_extract_meta"] = f"""
+SELECT conv_id, title, journal, doi,
+  CAST(n_authors AS BIGINT) AS n_authors,
+  CAST(n_keywords AS BIGINT) AS n_keywords
+FROM '{_FIX}/rec_meta.parquet'
+"""
+
     # ---- record-analytics oracles over the frozen fixtures ----------
     o["x06_corpus_quality"] = f"""
 WITH {_rec_cte()},
@@ -841,9 +876,97 @@ SELECT conv_id,
 FROM rec
 """
 
+    # x08: full INDEPENDENT SQL recomputation of 64-bit SimHash —
+    # per-token md5-prefix hash, per-bit majority vote (strict, matching
+    # acc = Σ(bit*2-1) > 0), signed-long storage offset
+    bit_sums = ",\n   ".join(
+        f"sum(CAST((hv >> {p}) & 1 AS BIGINT)) AS b{p}" for p in range(64))
+    bit_assemble = "\n   + ".join(
+        f"(CASE WHEN 2*b{p} > n THEN CAST('{1 << p}' AS HUGEINT) "
+        f"ELSE CAST(0 AS HUGEINT) END)" for p in range(64))
+    o["x08_simhash"] = f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+ h AS (SELECT doc, CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS hv
+       FROM toks),
+ cnt AS (SELECT doc, count(*) AS n,
+   {bit_sums}
+  FROM h GROUP BY doc)
+SELECT doc, CAST(({bit_assemble})
+  - CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS simhash
+FROM cnt
+UNION ALL
+SELECT doc_id AS doc, 0 AS simhash FROM documents WHERE trim(text) = ''
+"""
+
+    # x13: lookarounds are not RE2-portable, but the count decomposes:
+    # every split-token is either a maximal alnum run or a camelCase
+    # fragment; total = nonempty runs + [a-z][A-Z] boundaries (which
+    # cannot overlap — a shared char would need to be both cases)
+    o["x13_token_bpe"] = """
+SELECT doc_id, CAST(
+  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+    len(list_filter(string_split_regex(trim(text), '[^a-zA-Z0-9]+'),
+                    x -> x <> ''))
+    + len(regexp_extract_all(trim(text), '[a-z][A-Z]'))
+  END AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+    o["x12_rolling_fingerprint"] = """
+SELECT doc_id,
+  CASE WHEN length(d) < 8 THEN md5(d)
+  ELSE array_to_string(list_transform(
+    list_sort(list_transform(range(1, length(d) - 8 + 2),
+      i -> CAST('0x' || substr(md5(substr(d, CAST(i AS INT), 8)), 1, 15)
+           AS BIGINT)))[1:4],
+    x -> CAST(x AS VARCHAR)), '-') END AS rfp
+FROM (SELECT doc_id, substr(text, 1, 4096) AS d FROM documents)
+"""
+
+    o["x11_multimodal_features"] = f"""
+SELECT asset_id, conv_id, kind, width, height, features
+FROM '{_FIX}/asset_features.parquet'
+"""
+    o["x19_pixel_filters"] = f"""
+SELECT asset_id, kind, width, height, px_std, ink_fraction, kept
+FROM '{_FIX}/asset_stats.parquet'
+"""
+
+    # x09: full INDEPENDENT SQL recomputation of MinHash-LSH banding
+    # (12 md5-based minhashes, 4 bands × 3 rows, band-key equi-join)
+    bands_union = "\nUNION ALL\n".join(
+        f"SELECT doc, {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh{b * 3 + r} AS VARCHAR)" for r in range(3))
+        + " AS bkey FROM sig"
+        for b in range(4))
+    o["x09_minhash_lsh_pairs"] = f"""
+WITH {_GRAMS_CTE},
+ sig AS (SELECT doc, {", ".join(_mh_expr(j) for j in range(12))}
+         FROM sh GROUP BY doc),
+ banded AS ({bands_union})
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+"""
+
     o["x10_head_frequencies"] = f"""
 SELECT section_label AS head, count(*) AS count
 FROM '{_FIX}/rec_sections.parquet' WHERE NOT is_canonical GROUP BY 1
+"""
+
+    # x14: INDEPENDENT SQL recomputation of the tumbling-window rollup
+    # over the frozen synthetic turns (deterministic generator output)
+    o["x14_streaming_rates"] = f"""
+SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start,
+  time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE AS window_end,
+  role, count(*) AS n_turns,
+  CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM '{_FIX}/turns.parquet'
+GROUP BY 1, 2, 3
 """
 
     sanitize_head = (

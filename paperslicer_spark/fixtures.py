@@ -30,7 +30,8 @@ import pandas as pd
 FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "fixtures")
 
-TABLES = ["rec_meta", "rec_sections", "rec_media", "rec_refs", "truth"]
+TABLES = ["rec_meta", "rec_sections", "rec_media", "rec_refs", "truth",
+          "rec_spans", "turns", "asset_features", "asset_stats"]
 
 
 def flatten_records(rows) -> dict[str, pd.DataFrame]:
@@ -123,10 +124,34 @@ def synth_truth(rows, seed: int = 42) -> pd.DataFrame:
 
 def build_all(spark) -> dict[str, pd.DataFrame]:
     import __spark_entry__ as entrymod
+    from paperslicer_spark.operators.spans import extract_turn_spans
 
     rows = entrymod._synth_records(spark).collect()
     frames = flatten_records(rows)
     frames["truth"] = synth_truth(rows)
+    # per-turn spans (x05 reproduction oracle), deterministic order
+    span_cols = ["conv_id", "turn_idx", "unit_idx", "kind",
+                 "section_label", "char_start", "char_end", "clean_text"]
+    spans = sorted(
+        (tuple(r[c] for c in span_cols)
+         for r in extract_turn_spans(entrymod._synth_turns(spark)).collect()))
+    frames["rec_spans"] = pd.DataFrame(spans, columns=span_cols)
+    # raw synthetic turns (x14 gets an INDEPENDENT SQL rollup over them)
+    turn_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    turns = sorted(
+        (tuple(r[c] for c in turn_cols)
+         for r in entrymod._synth_turns(spark).collect()))
+    tdf = pd.DataFrame(turns, columns=turn_cols)
+    tdf["ts"] = tdf["ts"].astype("datetime64[us]")
+    frames["turns"] = tdf
+    # multimodal contract-query outputs (deterministic fake-codec
+    # corpus): x11/x19 reproduction oracles
+    qs = entrymod.queries()
+    for name, key in (("x11_multimodal_features", "asset_features"),
+                      ("x19_pixel_filters", "asset_stats")):
+        pdf = qs[name](spark, "").toPandas()
+        frames[key] = pdf.sort_values(list(pdf.columns)).reset_index(
+            drop=True)
     return frames
 
 

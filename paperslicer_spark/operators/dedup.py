@@ -97,13 +97,27 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )
     if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-            .where(F.col("_df") > max_doc_freq)
-            .select("shingle")
+        # doc-frequency cap as a window over shingle: ONE shuffle that
+        # both filters the hot shingles AND leaves the relation hash-
+        # partitioned by the join key, so the self-join below adds no
+        # further exchange on either side (vs a separate freq groupBy +
+        # anti-join, which re-shuffled the full shingle relation twice)
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count("*").over(w))
+            .where(F.col("_df") <= max_doc_freq)
+            .drop("_df")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+        # set sizes must exclude capped shingles → count the filtered rows
+        sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    else:
+        # no cap: sizes are just the per-doc distinct-shingle array size —
+        # computed from the base scan (JVM size(), no explode, no extra
+        # shuffle over |shingle| rows)
+        sizes = df.select(
+            F.col(id_col).alias("doc"),
+            F.size(shingles(F.col(text_col), n)).cast("bigint").alias("sz"),
+        ).where(F.col("sz") > 0)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
