@@ -13,6 +13,16 @@ same contract is implemented with partitioned Parquet + a manifest:
 
 Iceberg DDL for clusters that have the runtime jar::
 
+    -- INPUT layout that makes the fused record path a pure map
+    -- (operators/extract.parse_turns_fused(conv_aligned=True)): every
+    -- conversation lives in exactly one bucket file, rows pre-sorted
+    CREATE TABLE transcripts (
+      conv_id string, turn_idx int, role string, text string,
+      tool string, ts timestamp)
+    USING iceberg
+    PARTITIONED BY (bucket(4096, conv_id))
+    TBLPROPERTIES ('write.sort-order' = 'conv_id, turn_idx');
+
     CREATE TABLE sections (
       conv_id string, section_label string, is_canonical boolean,
       clean_text string, bucket int)
