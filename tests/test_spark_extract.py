@@ -222,6 +222,32 @@ def test_fused_parse_equals_agg_path(spark, turns):
     assert a == d
 
 
+def test_fused_parse_extreme_skew(spark):
+    """A 3000-turn conversation (1000× the median) is one Python group
+    inside one task — must parse correctly alongside tiny neighbors."""
+    from paperslicer_spark.operators.extract import parse_turns_fused
+
+    rows = [("big", 0, "tool",
+             "<teiHeader><fileDesc><titleStmt><title>Big</title></titleStmt>"
+             "</fileDesc></teiHeader>", "gen", None)]
+    rows += [("big", i, "tool",
+              f"<div><head>Results</head><p>chunk {i} text.</p></div>",
+              "gen", None) for i in range(1, 3000)]
+    rows += [("tiny", 0, "tool",
+              "<teiHeader><fileDesc><titleStmt><title>Tiny</title>"
+              "</titleStmt></fileDesc></teiHeader>", "gen", None),
+             ("tiny", 1, "tool", "<div><head>Results</head><p>r.</p></div>",
+              "gen", None)]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = {r["conv_id"]: r for r in
+           parse_turns_fused(turns, partitions=4).collect()}
+    assert out["big"]["status"] == "ok"
+    assert out["big"]["sections"]["results"].count("chunk") == 2999
+    assert out["tiny"]["status"] == "ok"
+
+
 def test_fused_parse_error_rows(spark):
     """A malformed conversation yields an error row, never a task
     failure — and never poisons its partition neighbors."""
