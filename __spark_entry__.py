@@ -451,6 +451,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("conv_id")
     q["x17_truth_validation"] = x17_truth_validation
 
+    def x20_cosine_dup_pairs(spark, sf):
+        # exact embedding near-dup pairs (the q11 analog for vectors)
+        return SIM.cosine_dup_pairs(_t(spark, sf, "embeddings"),
+                                    threshold=0.4)
+    q["x20_cosine_dup_pairs"] = x20_cosine_dup_pairs
+
+    def x21_cosine_dup_pairs_lsh(spark, sf):
+        # scale path: sign-LSH bucket blocking (equi-join, recall < 1)
+        return SIM.cosine_dup_pairs(_t(spark, sf, "embeddings"),
+                                    threshold=0.4, bits=8)
+    q["x21_cosine_dup_pairs_lsh"] = x21_cosine_dup_pairs_lsh
+
     def x18_mapping_suggestions(spark, sf):
         return MX.mapping_suggestions(_synth_records(spark))
     q["x18_mapping_suggestions"] = x18_mapping_suggestions
@@ -933,6 +945,22 @@ FROM '{_FIX}/asset_features.parquet'
     o["x19_pixel_filters"] = f"""
 SELECT asset_id, kind, width, height, px_std, ink_fraction, kept
 FROM '{_FIX}/asset_stats.parquet'
+"""
+
+    o["x20_cosine_dup_pairs"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+"""
+    _bucket8 = ("array_to_string(list_transform(embedding[1:8], "
+                "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')")
+    o["x21_cosine_dup_pairs_lsh"] = f"""
+WITH e AS (SELECT vec_id, embedding, {_bucket8} AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
 """
 
     # x09: full INDEPENDENT SQL recomputation of MinHash-LSH banding

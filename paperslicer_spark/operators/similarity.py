@@ -137,6 +137,37 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return out, model
 
 
+def cosine_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     bits: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: ``(id_a, id_b, cos)``
+    with ``cos ≥ threshold`` and ``id_a < id_b``.
+
+    ``bits=None`` is the EXACT all-pairs baseline (upper triangle of a
+    self cross join) — quadratic by definition, the embedding analog of
+    q11's exact n-gram Jaccard. At scale pass ``bits`` to block by the
+    sign-LSH bucket: candidates become an equi-join on the bucket key
+    (never a cross join); recall < 1 by design — near-dups whose lead
+    dimensions straddle a sign boundary land in different buckets (the
+    multi-band MinHash-LSH pattern in dedup.py restores recall for the
+    text domain; for embeddings, probe multiple rotations).
+    Cosines are rounded to 6dp BEFORE thresholding so the SQL oracle
+    agrees exactly at the boundary."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if bits:
+        a = a.withColumn("bucket", sign_lsh_bucket(F.col("va"), bits))
+        b = b.withColumn("bucket", sign_lsh_bucket(F.col("vb"), bits))
+        j = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    else:
+        j = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (
+        j.select("id_a", "id_b",
+                 F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              bits: int = 8) -> DataFrame:

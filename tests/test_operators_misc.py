@@ -105,6 +105,26 @@ def test_ngram_jaccard_and_minhash(docs):
     assert (1, 4) not in cand and (2, 4) not in cand
 
 
+def test_cosine_dup_pairs(spark):
+    from paperslicer_spark.operators.similarity import cosine_dup_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]), (1, [0.99, 0.1, 0.0, 0.0]),  # near-dup
+        (2, [0.0, 1.0, 0.0, 0.0]),                               # unrelated
+        (3, [-1.0, 0.0, 0.0, 0.0]),                              # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"])
+             for r in cosine_dup_pairs(emb, threshold=0.9).collect()}
+    assert exact == {(0, 1)}
+    # LSH blocking: 0/1 share the sign bucket; 3 differs in bit 0, so
+    # the (0,3) anti-pair is never even a candidate
+    blocked = {(r["id_a"], r["id_b"])
+               for r in cosine_dup_pairs(emb, threshold=0.9,
+                                         bits=4).collect()}
+    assert blocked == {(0, 1)}
+
+
 def test_simhash(docs):
     from paperslicer_spark.operators.dedup import simhash
 
