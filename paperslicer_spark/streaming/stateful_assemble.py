@@ -59,6 +59,38 @@ def _emit(conv_id: str, turn_idxs, texts, status: str) -> pd.DataFrame:
     return pd.DataFrame([row])
 
 
+SECTIONS_OUTPUT_SCHEMA = (
+    "conv_id string, status string, section_label string, "
+    "clean_text string, is_canonical boolean"
+)
+
+
+def _emit_sections(conv_id: str, turn_idxs, texts, status: str) -> pd.DataFrame:
+    """Long-form sections rows per completed conversation — the
+    streaming twin of the batch flagship output (sections_long ∘
+    parse; no table merge / review, like ``_emit``)."""
+    from paperslicer_spark.extraction.tei import parse_tei
+    from paperslicer_spark.sources.transcripts import assemble_payload
+
+    frags = [t for _, t in sorted(zip(turn_idxs, texts))]
+    try:
+        rec = parse_tei(assemble_payload(frags), source_path=conv_id)
+    except Exception as e:  # noqa: BLE001 — error-row model
+        return pd.DataFrame([{
+            "conv_id": conv_id, "status": f"error:{type(e).__name__}",
+            "section_label": None, "clean_text": None,
+            "is_canonical": None}])
+    rows = [{"conv_id": conv_id, "status": status, "section_label": k,
+             "clean_text": v, "is_canonical": True}
+            for k, v in rec["sections"].items()]
+    rows += [{"conv_id": conv_id, "status": status, "section_label": k,
+              "clean_text": v, "is_canonical": False}
+             for k, v in rec["other_sections"].items()]
+    return pd.DataFrame(rows, columns=["conv_id", "status",
+                                       "section_label", "clean_text",
+                                       "is_canonical"])
+
+
 def _set_timeout(state: GroupState, ms: int = 60_000) -> None:
     if state.getCurrentProcessingTimeMs() >= 0:  # timeouts enabled?
         try:
@@ -67,49 +99,64 @@ def _set_timeout(state: GroupState, ms: int = 60_000) -> None:
             pass
 
 
-def _assemble_fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
-                 state: GroupState) -> Iterator[pd.DataFrame]:
-    conv_id = key[0]
-    if state.hasTimedOut:
-        (turn_idxs, texts, emitted) = state.get
-        state.remove()
-        if not emitted:  # tombstones age out silently, never re-emit
-            yield _emit(conv_id, list(turn_idxs), list(texts), "timeout")
-        return
-    turn_idxs, texts, emitted = [], [], False
-    if state.exists:
-        prev = state.get
-        turn_idxs, texts, emitted = list(prev[0]), list(prev[1]), bool(prev[2])
-    if emitted:
-        # tombstone: this conv_id already emitted a record — a straggler
-        # fragment must NOT seed fresh state (it would later emit a
-        # duplicate near-empty 'timeout' row for the same conv_id).
-        # Drop the fragments, refresh the tombstone's eviction clock.
-        state.update(([], [], True))
-        _set_timeout(state)
-        return
-    complete = False
-    for pdf in pdfs:
-        for ti, tx in zip(pdf["turn_idx"], pdf["text"]):
-            if tx is None:
-                continue
-            turn_idxs.append(int(ti))
-            texts.append(tx)
-            if tx.startswith("<back"):
-                complete = True
-    if complete:
-        # keep a tombstone (emitted=true) instead of removing state, so
-        # late fragments for an already-output conversation are ignored
-        state.update(([], [], True))
-        _set_timeout(state)
-        yield _emit(conv_id, turn_idxs, texts, "ok")
-    else:
-        state.update((turn_idxs, texts, False))
-        _set_timeout(state)
+def _stateful_fn(emit):
+    """Build the applyInPandasWithState function around an ``emit``
+    callback ``(conv_id, turn_idxs, texts, status) -> pd.DataFrame``."""
+
+    def fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        if state.hasTimedOut:
+            (turn_idxs, texts, emitted) = state.get
+            state.remove()
+            if not emitted:  # tombstones age out silently, never re-emit
+                yield emit(conv_id, list(turn_idxs), list(texts), "timeout")
+            return
+        turn_idxs, texts, emitted = [], [], False
+        if state.exists:
+            prev = state.get
+            turn_idxs, texts, emitted = (list(prev[0]), list(prev[1]),
+                                         bool(prev[2]))
+        if emitted:
+            # tombstone: this conv_id already emitted — a straggler
+            # fragment must NOT seed fresh state (it would later emit a
+            # duplicate near-empty 'timeout' row for the same conv_id).
+            # Drop the fragments, refresh the tombstone's eviction clock.
+            state.update(([], [], True))
+            _set_timeout(state)
+            return
+        complete = False
+        for pdf in pdfs:
+            for ti, tx in zip(pdf["turn_idx"], pdf["text"]):
+                if tx is None:
+                    continue
+                turn_idxs.append(int(ti))
+                texts.append(tx)
+                if tx.startswith("<back"):
+                    complete = True
+        if complete:
+            # keep a tombstone (emitted=true) instead of removing state,
+            # so late fragments for an already-output conv are ignored
+            state.update(([], [], True))
+            _set_timeout(state)
+            yield emit(conv_id, turn_idxs, texts, "ok")
+        else:
+            state.update((turn_idxs, texts, False))
+            _set_timeout(state)
+
+    return fn
 
 
-def assemble_stream(turns, with_timeout: bool = False) -> "DataFrame":  # noqa: F821
-    """turns stream → completed-document record summaries.
+_assemble_fn = _stateful_fn(_emit)
+
+
+def assemble_stream(turns, with_timeout: bool = False,
+                    output: str = "summary") -> "DataFrame":  # noqa: F821
+    """turns stream → per-completed-conversation output.
+
+    ``output='summary'`` emits one record-summary row per conversation;
+    ``output='sections'`` emits the long-form sections rows — the
+    streaming twin of the batch flagship output.
 
     ``with_timeout=True`` evicts never-completing conversations after
     60 s processing time (production setting, paired with a real
@@ -118,11 +165,15 @@ def assemble_stream(turns, with_timeout: bool = False) -> "DataFrame":  # noqa: 
     timeouts keep scheduling evaluation batches and the call never
     settles, so tests run without eviction.
     """
+    fn, schema = {
+        "summary": (_assemble_fn, OUTPUT_SCHEMA),
+        "sections": (_stateful_fn(_emit_sections), SECTIONS_OUTPUT_SCHEMA),
+    }[output]
     return (
         turns.groupBy("conv_id")
         .applyInPandasWithState(
-            _assemble_fn,
-            outputStructType=OUTPUT_SCHEMA,
+            fn,
+            outputStructType=schema,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout

@@ -76,6 +76,32 @@ def test_stateful_assembly_tombstone(spark, tmp_path):
     assert [(r["conv_id"], r["status"]) for r in rows] == [("cx", "ok")]
 
 
+def test_stateful_sections_stream(spark, corpus_path, tmp_path):
+    """output='sections': streamed long-form sections equal the batch
+    pipeline's (same parse settings: no merge, no review)."""
+    from paperslicer_spark.operators.assemble import assemble_documents
+    from paperslicer_spark.operators.extract import (
+        parse_documents, sections_long)
+    from paperslicer_spark.streaming.stateful_assemble import assemble_stream
+    from paperslicer_spark.streaming.stream_extract import stream_turns
+
+    stream = stream_turns(spark, corpus_path, max_files_per_trigger=1)
+    q = (assemble_stream(stream, output="sections").writeStream
+         .format("memory").queryName("sections_mem").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck3")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["conv_id"], r["section_label"], r["clean_text"], r["is_canonical"])
+        for r in spark.sql(
+            "select * from sections_mem where status = 'ok'").collect())
+    batch = sections_long(parse_documents(
+        assemble_documents(spark.read.parquet(corpus_path)),
+        merge_tables=False, review_mode=False))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
+
+
 def test_stateful_assembly_stream(spark, corpus_path, tmp_path):
     from paperslicer_spark.streaming.stateful_assemble import assemble_stream
     from paperslicer_spark.streaming.stream_extract import stream_turns
