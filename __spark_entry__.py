@@ -910,7 +910,8 @@ SELECT doc, CAST(({bit_assemble})
   - CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS simhash
 FROM cnt
 UNION ALL
-SELECT doc_id AS doc, 0 AS simhash FROM documents WHERE trim(text) = ''
+SELECT doc_id AS doc, 0 AS simhash FROM documents
+WHERE trim(text) = '' OR text IS NULL
 """
 
     # x13: lookarounds are not RE2-portable, but the count decomposes:
