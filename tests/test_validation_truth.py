@@ -191,6 +191,30 @@ def test_truth_scoring_matches_reference(spark):
         assert got[cid] == pytest.approx(_ref_score(rec, tru), abs=1e-3), cid
 
 
+def test_fuzzy_similarity_fuzz(spark):
+    """200 seeded random ASCII pairs (whitespace runs, empties, length
+    skew) — the Column implementation must equal the reference formula
+    on every one."""
+    import random
+
+    rng = random.Random(4242)
+    alphabet = "ab cD.,\t 9-"
+    pairs = [("", ""), ("", "x"), (" ", "  "), ("a", "a")]
+    for _ in range(196):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        b = (a[:rng.randrange(0, len(a) + 1)] if a and rng.random() < 0.5
+             else "".join(rng.choice(alphabet)
+                          for _ in range(rng.randrange(0, 60))))
+        pairs.append((a, b))
+    df = spark.createDataFrame(pairs, "a string, b string")
+    rows = df.select("a", "b",
+                     fuzzy_similarity(F.col("a"), F.col("b")).alias("s")
+                     ).collect()
+    for r in rows:
+        assert r["s"] == pytest.approx(_ref_fuzzy(r["a"], r["b"]),
+                                       abs=1e-9), (r["a"], r["b"])
+
+
 def test_fuzzy_similarity_column(spark):
     cases = [("abc", "abc"), ("abc", "abd"), ("", ""), ("", "x"),
              ("a  b\tc", "a b c"), ("short", "a much longer string")]
