@@ -463,6 +463,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     threshold=0.4, bits=8)
     q["x21_cosine_dup_pairs_lsh"] = x21_cosine_dup_pairs_lsh
 
+    def x22_sections_fused(spark, sf):
+        # minimal-bytes sections path (assembly+parse+explode in-UDF)
+        from paperslicer_spark.operators.extract import extract_sections_fused
+        return extract_sections_fused(_synth_turns(spark), partitions=8) \
+            .orderBy("conv_id", "section_label")
+    q["x22_sections_fused"] = x22_sections_fused
+
     def x18_mapping_suggestions(spark, sf):
         return MX.mapping_suggestions(_synth_records(spark))
     q["x18_mapping_suggestions"] = x18_mapping_suggestions
@@ -803,9 +810,10 @@ FROM documents GROUP BY source, lang
 SELECT conv_id, section_label, clean_text, is_canonical
 FROM '{_FIX}/rec_sections.parquet'
 """
-    # x16 is row-identical to x01 by construction (explode inside vs
-    # outside the fused UDF) — same reproduction oracle
+    # x16/x22 are row-identical to x01 by construction (explode inside
+    # vs outside the fused UDF) — same reproduction oracle
     o["x16_sections_direct"] = o["x01_extract_sections"]
+    o["x22_sections_fused"] = o["x01_extract_sections"]
     o["x05_turn_spans"] = f"""
 SELECT conv_id, turn_idx, unit_idx, kind, section_label,
   char_start, char_end, clean_text

@@ -96,6 +96,10 @@ def main():
     timed("extract_sections_direct",
           lambda: force(extract_sections_direct(
               assemble_documents(turns, skew_threshold=64))))
+    # minimal-bytes path: sections-only, assembly+parse+explode in-UDF
+    from paperslicer_spark.operators.extract import extract_sections_fused
+    timed("extract_sections_fused",
+          lambda: force(extract_sections_fused(turns, conv_aligned=True)))
     # analytics headliners over driver tables
     for name in ["q01_pricing_summary", "q05_priority_concat",
                  "q11_jaccard_pairs", "q12_embedding_topk",

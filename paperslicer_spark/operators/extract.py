@@ -253,6 +253,65 @@ def extract_sections_direct(docs: DataFrame, merge_tables: bool = True,
     return docs.mapInPandas(run, schema=SECTIONS_SCHEMA)
 
 
+def extract_sections_fused(turns: DataFrame, merge_tables: bool = True,
+                           review_mode: Optional[bool] = None,
+                           conv_aligned: bool = False,
+                           partitions: Optional[int] = None) -> DataFrame:
+    """Sections-only fused variant: assembly + parse + explode all
+    inside ONE ``mapInPandas`` over (optionally repartitioned) raw
+    turns — the minimal-bytes path when downstream needs only sections
+    (the common 100 TB case): only flat section strings ever cross the
+    Arrow boundary, no nested meta/media/reference structs.
+    Row-identical to ``sections_long(parse_turns_fused(...))``
+    (error conversations yield no section rows either way)."""
+    t = turns.select("conv_id", "turn_idx", "text")
+    if not conv_aligned:
+        n = partitions or t.sparkSession.sparkContext.defaultParallelism * 2
+        t = t.repartition(n, "conv_id")
+    t = t.sortWithinPartitions("conv_id", "turn_idx", "text")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        from paperslicer_spark.sources.transcripts import assemble_payload
+
+        out = {"conv_id": [], "section_label": [], "clean_text": [],
+               "is_canonical": []}
+        state = {"conv": None, "frags": []}
+
+        def close_conv():
+            row = _build_row(state["conv"], assemble_payload(state["frags"]),
+                             merge_tables, review_mode)
+            for k, v in row["sections"].items():
+                out["conv_id"].append(state["conv"])
+                out["section_label"].append(k)
+                out["clean_text"].append(v)
+                out["is_canonical"].append(True)
+            for os_ in row["other_sections"]:
+                out["conv_id"].append(state["conv"])
+                out["section_label"].append(os_["head"])
+                out["clean_text"].append(os_["text"])
+                out["is_canonical"].append(False)
+
+        for pdf in batches:
+            for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
+                if conv_id != state["conv"]:
+                    if state["conv"] is not None:
+                        close_conv()
+                    state["conv"], state["frags"] = conv_id, []
+                if text:
+                    state["frags"].append(text)
+            if len(out["conv_id"]) >= 4096:
+                yield pd.DataFrame(out)
+                for k in out:
+                    out[k] = []
+        if state["conv"] is not None:
+            close_conv()
+        if out["conv_id"]:
+            yield pd.DataFrame(out)
+
+    return t.mapInPandas(run, schema=SECTIONS_SCHEMA)
+
+
 def sections_long(records: DataFrame) -> DataFrame:
     """Exploded long-form sections table — the north_star's
     ``(conv_id, section_label, is_canonical, clean_text)`` view.

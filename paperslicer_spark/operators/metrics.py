@@ -96,22 +96,16 @@ SUGGEST_RULES = [
 ]
 
 
-def _sanitize_col(c) -> F.Column:
-    """JVM twin of functions.sections.sanitize_heading (F1)."""
-    s = F.lower(F.trim(c))
-    s = F.regexp_replace(s, r"^[|>•\-–—\s]+", "")
-    s = F.regexp_replace(s, r"(?i)^(?:[ivxlcdm]+\.|\d+(?:\.\d+)*\.?)[\s\-:]*", "")
-    return F.trim(F.regexp_replace(s, r"\s+", " "))
-
-
 def mapping_suggestions(records: DataFrame, min_count: int = 1) -> DataFrame:
     """K6 mapping-suggestions report (reference
     ``evaluate_corpus.py:306-337,408-412``): frequent unmapped heads
     re-run through the suggestion keyword rules → suggested canonical
     key, most-frequent first. Input aggregation is head_frequencies
     (already a per-head rollup), so this stage is broadcast-tiny."""
+    from paperslicer_spark.functions.sections import sanitize_heading_col
+
     heads = head_frequencies(records).where(F.col("count") >= min_count)
-    n = _sanitize_col(F.col("head"))
+    n = sanitize_heading_col(F.col("head"))
 
     def any_kw(kws):
         cond = F.lit(False)

@@ -272,7 +272,8 @@ def test_fused_parse_error_rows(spark):
 
 
 def test_sections_direct_equals_records_path(spark, turns):
-    from paperslicer_spark.operators.extract import extract_sections_direct
+    from paperslicer_spark.operators.extract import (
+        extract_sections_direct, extract_sections_fused)
 
     docs = assemble_documents(turns)
     via_records = sections_long(
@@ -281,3 +282,7 @@ def test_sections_direct_equals_records_path(spark, turns):
     a = sorted(map(tuple, via_records.collect()))
     b = sorted(map(tuple, direct.collect()))
     assert a == b
+    fused = extract_sections_fused(turns, merge_tables=True,
+                                   review_mode=None, partitions=5)
+    c = sorted(map(tuple, fused.collect()))
+    assert a == c
