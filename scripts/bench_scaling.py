@@ -46,10 +46,13 @@ sys.path.insert(0, REPO)
 
 N_DOCS = int(os.environ.get("SCALING_N_DOCS", "60000"))
 REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
-# the N and 4N "cluster sizes" (cores); a real 4N cluster also has 4×
-# the memory, so the JVM heap scales with the core count below
+# the N and 4N "cluster sizes" (cores); intermediate points may be
+# added via SCALING_CORES=8,16,32 — the rule's efficiency is computed
+# between the FIRST and LAST, the rest evidence a monotonic curve
 N_SMALL = int(os.environ.get("SCALING_SMALL", "8"))
 N_BIG = int(os.environ.get("SCALING_BIG", str(N_SMALL * 4)))
+CORES = [int(c) for c in os.environ.get(
+    "SCALING_CORES", f"{N_SMALL},{N_BIG}").split(",")]
 
 
 def corpus(spark) -> str:
@@ -126,7 +129,7 @@ def worker(cores: int) -> None:
 
 def orchestrate() -> None:
     results = {}
-    for cores in (N_SMALL, N_BIG):
+    for cores in CORES:
         # Pin the process to exactly `cores` CPUs: in local mode the
         # JVM executor threads and the pyspark.daemon workers would
         # otherwise borrow the machine's idle cores, silently giving
@@ -143,32 +146,37 @@ def orchestrate() -> None:
         results[cores] = json.loads(line)
         print(line)
 
-    ratio = N_BIG / N_SMALL
+    lo, hi = CORES[0], CORES[-1]
+    ratio = hi / lo
 
     def eff(metric):
-        return round((results[N_BIG][metric] / results[N_SMALL][metric]) / ratio, 3)
+        return round((results[hi][metric] / results[lo][metric]) / ratio, 3)
 
     summary = {
-        "n_turns": results[N_SMALL]["n_turns"],
-        "cores": [N_SMALL, N_BIG],
+        "n_turns": results[lo]["n_turns"],
+        "cores": CORES,
+        # throughput at every measured point (monotonicity evidence)
+        "curve": {m: {c: results[c][m] for c in CORES}
+                  for m in ("spans_turns_per_sec", "records_docs_per_sec",
+                            "shuffle_docs_per_sec", "agg_docs_per_sec")},
         "spans": {
-            "small_turns_per_sec": results[N_SMALL]["spans_turns_per_sec"],
-            "big_turns_per_sec": results[N_BIG]["spans_turns_per_sec"],
+            "small_turns_per_sec": results[lo]["spans_turns_per_sec"],
+            "big_turns_per_sec": results[hi]["spans_turns_per_sec"],
             "scaling_efficiency": eff("spans_turns_per_sec"),
         },
         "records": {
-            "small_docs_per_sec": results[N_SMALL]["records_docs_per_sec"],
-            "big_docs_per_sec": results[N_BIG]["records_docs_per_sec"],
+            "small_docs_per_sec": results[lo]["records_docs_per_sec"],
+            "big_docs_per_sec": results[hi]["records_docs_per_sec"],
             "scaling_efficiency": eff("records_docs_per_sec"),
         },
         "records_shuffle": {
-            "small_docs_per_sec": results[N_SMALL]["shuffle_docs_per_sec"],
-            "big_docs_per_sec": results[N_BIG]["shuffle_docs_per_sec"],
+            "small_docs_per_sec": results[lo]["shuffle_docs_per_sec"],
+            "big_docs_per_sec": results[hi]["shuffle_docs_per_sec"],
             "scaling_efficiency": eff("shuffle_docs_per_sec"),
         },
         "records_salted_agg": {
-            "small_docs_per_sec": results[N_SMALL]["agg_docs_per_sec"],
-            "big_docs_per_sec": results[N_BIG]["agg_docs_per_sec"],
+            "small_docs_per_sec": results[lo]["agg_docs_per_sec"],
+            "big_docs_per_sec": results[hi]["agg_docs_per_sec"],
             "scaling_efficiency": eff("agg_docs_per_sec"),
         },
         # per-job pass flags — a blended flag would hide one failing job
