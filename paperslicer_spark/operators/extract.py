@@ -126,11 +126,26 @@ def parse_documents(docs: DataFrame, merge_tables: bool = True,
     return docs.mapInPandas(run, schema=RECORD_SCHEMA)
 
 
+def _fused_partitions(t: DataFrame, partitions: Optional[int]) -> int:
+    """Data-proportional repartition width: at least the source's own
+    split count (∝ input bytes / maxPartitionBytes), floored by 2×
+    cores — a cores-only default would under-partition a 100 TB input
+    into enormous reducer tasks."""
+    if partitions:
+        return partitions
+    try:
+        src_parts = t.rdd.getNumPartitions()
+    except Exception:  # non-scan sources where planning the RDD is costly
+        src_parts = 0
+    return max(t.sparkSession.sparkContext.defaultParallelism * 2, src_parts)
+
+
 def parse_turns_fused(turns: DataFrame, merge_tables: bool = True,
                       review_mode: Optional[bool] = None,
                       conv_aligned: bool = False,
                       partitions: Optional[int] = None,
-                      batch_rows: int = 512) -> DataFrame:
+                      batch_rows: int = 512,
+                      max_turns_per_conv: Optional[int] = None) -> DataFrame:
     """Transcript turns → typed records with NO payload shuffle — the
     scale path, row-identical to ``parse_documents(assemble_documents(
     turns))`` (parity-enforced in tests/test_spark_extract.py).
@@ -156,12 +171,15 @@ def parse_turns_fused(turns: DataFrame, merge_tables: bool = True,
     inside one task (bounded by its own payload size), never a hot
     reducer materializing a 10^5-element array — the skew-split salted
     agg remains available in assemble_documents for sources where even
-    single payloads must be pre-reduced.
+    single payloads must be pre-reduced. ``max_turns_per_conv`` is the
+    worker-memory guardrail for adversarial inputs: a conversation
+    exceeding it becomes a ``status='error'`` row (its fragments are
+    dropped as they stream in, so a 1 GB outlier never buffers), never
+    a task OOM.
     """
     t = turns.select("conv_id", "turn_idx", "text")
     if not conv_aligned:
-        n = partitions or t.sparkSession.sparkContext.defaultParallelism * 2
-        t = t.repartition(n, "conv_id")
+        t = t.repartition(_fused_partitions(t, partitions), "conv_id")
     # text tiebreak mirrors array_sort(struct(pos,text)) in the agg path
     t = t.sortWithinPartitions("conv_id", "turn_idx", "text")
 
@@ -170,11 +188,17 @@ def parse_turns_fused(turns: DataFrame, merge_tables: bool = True,
         from paperslicer_spark.sources.transcripts import assemble_payload
 
         cols: dict = {c: [] for c in _COLS}
-        state = {"n": 0, "conv": None, "frags": []}
+        state = {"n": 0, "conv": None, "frags": [], "over": False}
 
         def close_conv():
-            row = _build_row(state["conv"], assemble_payload(state["frags"]),
-                             merge_tables, review_mode)
+            if state["over"]:
+                row = dict(_EMPTY)
+                row.update(conv_id=state["conv"], status="error",
+                           error=f"oversized: > {max_turns_per_conv} turns")
+            else:
+                row = _build_row(state["conv"],
+                                 assemble_payload(state["frags"]),
+                                 merge_tables, review_mode)
             for c in _COLS:
                 cols[c].append(row[c])
             state["n"] += 1
@@ -185,8 +209,14 @@ def parse_turns_fused(turns: DataFrame, merge_tables: bool = True,
                     if state["conv"] is not None:
                         close_conv()
                     state["conv"], state["frags"] = conv_id, []
+                    state["over"] = False
+                if state["over"]:
+                    continue  # oversized: drop fragments, never buffer
                 if text:  # null/empty fragments skipped (agg-path parity)
                     state["frags"].append(text)
+                    if (max_turns_per_conv
+                            and len(state["frags"]) > max_turns_per_conv):
+                        state["over"], state["frags"] = True, []
             if state["n"] >= batch_rows:
                 yield pd.DataFrame(cols)
                 for c in _COLS:
@@ -266,8 +296,7 @@ def extract_sections_fused(turns: DataFrame, merge_tables: bool = True,
     (error conversations yield no section rows either way)."""
     t = turns.select("conv_id", "turn_idx", "text")
     if not conv_aligned:
-        n = partitions or t.sparkSession.sparkContext.defaultParallelism * 2
-        t = t.repartition(n, "conv_id")
+        t = t.repartition(_fused_partitions(t, partitions), "conv_id")
     t = t.sortWithinPartitions("conv_id", "turn_idx", "text")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -247,6 +247,16 @@ def test_fused_parse_extreme_skew(spark):
     assert out["big"]["sections"]["results"].count("chunk") == 2999
     assert out["tiny"]["status"] == "ok"
 
+    # worker-memory guardrail: an oversized conversation becomes an
+    # error row (fragments dropped as they stream), neighbors unharmed
+    capped = {r["conv_id"]: r for r in
+              parse_turns_fused(turns, partitions=4,
+                                max_turns_per_conv=100).collect()}
+    assert capped["big"]["status"] == "error"
+    assert "oversized" in capped["big"]["error"]
+    assert capped["big"]["sections"] == {}
+    assert capped["tiny"]["status"] == "ok"
+
 
 def test_fused_parse_error_rows(spark):
     """A malformed conversation yields an error row, never a task
