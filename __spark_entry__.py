@@ -470,6 +470,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("conv_id", "section_label")
     q["x22_sections_fused"] = x22_sections_fused
 
+    def x23_langid_ngram(spark, sf):
+        # character-n-gram language ID (argmax over signature-gram
+        # evidence; JVM-side length-delta counting, no explode)
+        d = _t(spark, sf, "documents")
+        scores = TS.lang_ngram_scores(F.col("text"))
+        return d.select(
+            "doc_id",
+            TS.lang_guess_ngram(F.col("text")).alias("lang_pred"),
+            *[F.round(scores[k], 6).alias(f"s_{k}") for k in sorted(scores)])
+    q["x23_langid_ngram"] = x23_langid_ngram
+
     def x18_mapping_suggestions(spark, sf):
         return MX.mapping_suggestions(_synth_records(spark))
     q["x18_mapping_suggestions"] = x18_mapping_suggestions
@@ -1004,6 +1015,34 @@ SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start,
   CAST(sum(length(text)) AS BIGINT) AS n_chars
 FROM '{_FIX}/turns.parquet'
 GROUP BY 1, 2, 3
+"""
+
+    # x23: n-gram language-ID twin — identical expression shape, so the
+    # doubles (and the argmax equality tests) agree bit-for-bit
+    def _lang_score_sql(grams):
+        s = "(' ' || lower(text) || ' ')"
+        terms = " + ".join(
+            f"(length({s}) - length(replace({s}, '{g}', ''))) / {len(g)}"
+            for g in grams)
+        return f"(({terms}) / (length({s}) + 1))"
+
+    from paperslicer_spark.functions.text_stats import LANG_NGRAMS
+    score_cols = ",\n  ".join(
+        f"{_lang_score_sql(v)} AS s_{k}" for k, v in sorted(LANG_NGRAMS.items()))
+    best = "greatest(s_de, s_en, s_es, s_fr)"
+    o["x23_langid_ngram"] = f"""
+WITH sc AS (SELECT doc_id,
+  {score_cols}
+FROM documents)
+SELECT doc_id,
+  CASE WHEN {best} < 0.002 THEN 'unk'
+       WHEN s_fr = {best} THEN 'fr'
+       WHEN s_es = {best} THEN 'es'
+       WHEN s_en = {best} THEN 'en'
+       ELSE 'de' END AS lang_pred,
+  round(s_de, 6) AS s_de, round(s_en, 6) AS s_en,
+  round(s_es, 6) AS s_es, round(s_fr, 6) AS s_fr
+FROM sc
 """
 
     sanitize_head = (

@@ -67,6 +67,49 @@ def lang_guess(col: Column) -> Column:
     return F.when(stopword_ratio(col) > 0.03, F.lit("en")).otherwise(F.lit("unk"))
 
 
+# signature character n-grams per language (padded with spaces so
+# word-boundary grams match); profiles are deliberately tiny — the
+# point is the JVM-side n-gram-counting pattern, swap real profiles in
+LANG_NGRAMS = {
+    "en": ["the ", " the", "ing ", " and", " of ", " to ", "ed ", " is "],
+    "de": [" der", " und", " die", " ein", "sch", "cht", "ung ", " zu "],
+    "fr": [" le ", " les", " des", " une", " que", " est", "ait ", " du "],
+    "es": [" el ", " los", " una", " que", " de ", "ción", "ado ", " la "],
+}
+
+
+def lang_ngram_scores(col: Column) -> dict[str, Column]:
+    """Per-language n-gram evidence: occurrence counts of each
+    language's signature grams (via length-delta counting — pure JVM,
+    no explode), normalized by text length. SQL-portable bit-for-bit
+    (same expression shape in the DuckDB oracle)."""
+    s = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+
+    def score(grams):
+        total = F.lit(0.0)
+        for g in grams:
+            total = total + (
+                (F.length(s) - F.length(F.replace(s, F.lit(g), F.lit(""))))
+                / len(g))
+        return total / (F.length(s) + 1)
+
+    return {k: score(v) for k, v in LANG_NGRAMS.items()}
+
+
+def lang_guess_ngram(col: Column, min_score: float = 0.002) -> Column:
+    """Character-n-gram language ID over the built-in profiles:
+    argmax of :func:`lang_ngram_scores` (ties broken by the greater
+    language code — the struct max makes that deterministic), 'unk'
+    when even the best score is below ``min_score``."""
+    scores = lang_ngram_scores(col)
+    arr = F.array(*[
+        F.struct(sc.alias("s"), F.lit(k).alias("lang"))
+        for k, sc in sorted(scores.items())])
+    top = F.array_max(arr)
+    return F.when(top.getField("s") < min_score, F.lit("unk")).otherwise(
+        top.getField("lang"))
+
+
 def quality_score(col: Column) -> Column:
     """0-100 heuristic quality score: length (40) + avg token length
     band (30) + low-noise (30). Deterministic arithmetic only."""

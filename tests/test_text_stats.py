@@ -88,3 +88,24 @@ def test_rolling_fingerprint_long_doc_capped(spark):
         "doc_id", TS.rolling_fingerprint(F.col("text")).alias("v")).collect()}
     assert rows[1] == rows[2]          # prefix-identical → same fingerprint
     assert rows[1].count("-") == 3     # keep=4 hashes joined
+
+
+def test_lang_guess_ngram_real_sentences(spark):
+    """The n-gram language ID must classify real sentences in its four
+    profile languages; junk with no signature grams is 'unk'."""
+    rows = [
+        ("en", "The results of the study indicate that healing is "
+               "progressing and the patients responded to the treatment."),
+        ("de", "Die Ergebnisse der Untersuchung zeigen, dass die Heilung "
+               "und die Behandlung der Patienten erfolgreich sind."),
+        ("fr", "Les résultats de l'étude montrent que la guérison est en "
+               "cours et que les patients du groupe répondent au traitement."),
+        ("es", "Los resultados de la investigación muestran que la "
+               "curación de los pacientes responde a la intervención."),
+        ("unk", "zzzz qqqq xxxx 12345 @@@@"),
+    ]
+    df = spark.createDataFrame(rows, "want string, text string")
+    got = df.select("want",
+                    TS.lang_guess_ngram(F.col("text")).alias("pred")).collect()
+    for r in got:
+        assert r["pred"] == r["want"], (r["want"], r["pred"])
