@@ -223,6 +223,54 @@ def test_streaming_spans(spark, corpus_path, tmp_path):
                                   "n_turns", "n_chars"}
 
 
+def test_streaming_rates_drops_late_data(spark, tmp_path):
+    """Append mode + 10-min watermark: a row arriving after its window
+    was finalized is DROPPED — the emitted window count must not grow."""
+    import datetime
+
+    import pandas as pd
+
+    from paperslicer_spark.streaming.stream_extract import (
+        stream_turns, streaming_turn_rates)
+
+    src = tmp_path / "turns"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                          "text", "tool", "ts"])
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(src / name)
+
+    t = lambda m, s=0: datetime.datetime(2025, 1, 1, 0, m, s)  # noqa: E731
+    write_batch("b1.parquet", [
+        ("c", 0, "a", "x", "g", t(0, 10)),
+        ("c", 1, "a", "x", "g", t(0, 20)),
+        ("c", 2, "a", "x", "g", t(30)),      # advances watermark to 20:00
+    ])
+    q = (streaming_turn_rates(stream_turns(spark, str(src)))
+         .writeStream.format("memory").queryName("late_mem")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckl")).start())
+    q.processAllAvailable()
+    # late row for the ALREADY-FINALIZED 00:00 window + a fresh row
+    write_batch("b2.parquet", [
+        ("c", 3, "a", "late", "g", t(0, 30)),   # < watermark → dropped
+        ("c", 4, "a", "x", "g", t(41)),          # watermark → 31:00 > 30:05
+    ])
+    q.processAllAvailable()
+    # the watermark computed from b2's max event time takes effect in
+    # the NEXT batch — a third batch triggers the [30:00) emission
+    write_batch("b3.parquet", [("c", 5, "a", "x", "g", t(59))])
+    q.processAllAvailable()
+    q.stop()
+    rows = {str(r["window_start"]): r["n_turns"]
+            for r in spark.sql("select * from late_mem").collect()}
+    assert rows["2025-01-01 00:00:00"] == 2   # late row NOT counted
+    assert rows.get("2025-01-01 00:30:00") == 1
+
+
 def test_ivf_topk(spark):
     from paperslicer_spark.operators.similarity import brute_force_topk, ivf_topk
 
