@@ -481,6 +481,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             *[F.round(scores[k], 6).alias(f"s_{k}") for k in sorted(scores)])
     q["x23_langid_ngram"] = x23_langid_ngram
 
+    def x24_per_doc_metrics(spark, sf):
+        # the reference's corpus_quality.csv per-document row shape
+        return MX.per_document_metrics(_synth_records(spark)).orderBy("file")
+    q["x24_per_doc_metrics"] = x24_per_doc_metrics
+
     def x18_mapping_suggestions(spark, sf):
         return MX.mapping_suggestions(_synth_records(spark))
     q["x18_mapping_suggestions"] = x18_mapping_suggestions
@@ -999,6 +1004,33 @@ WITH {_GRAMS_CTE},
 SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
 FROM banded a
 JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+"""
+
+    flag_cols = ", ".join(
+        f"bool_or(section_label = '{k}') AS {k}"
+        for k in ("introduction", "materials_and_methods", "results",
+                  "discussion", "conclusions"))
+    flag_sel = ", ".join(
+        f"coalesce(fl.{k}, false) AS {k}"
+        for k in ("introduction", "materials_and_methods", "results",
+                  "discussion", "conclusions"))
+    o["x24_per_doc_metrics"] = f"""
+WITH {_rec_cte()},
+ oth AS (SELECT conv_id, count(*) AS n_other
+         FROM '{_FIX}/rec_sections.parquet'
+         WHERE NOT is_canonical GROUP BY conv_id),
+ fl AS (SELECT conv_id, {flag_cols}
+        FROM '{_FIX}/rec_sections.parquet'
+        WHERE is_canonical GROUP BY conv_id)
+SELECT rec.conv_id AS file, coalesce(title, '') AS title,
+  coalesce(doi, '') AS doi, coalesce(journal, '') AS journal,
+  abs_len AS abstract_len, (abs_len >= 30) AS abstract_present,
+  n_secs AS sections_count, coalesce(oth.n_other, 0) AS other_sections_count,
+  {flag_sel},
+  n_figures AS figures_count, n_tables AS tables_count,
+  printf('%.4f', CASE WHEN sum_len + n_secs - 1 <= 0 THEN 0.0
+    ELSE CAST(sum_bad AS DOUBLE) / (sum_len + n_secs - 1) END) AS noise_ratio
+FROM rec LEFT JOIN oth USING (conv_id) LEFT JOIN fl USING (conv_id)
 """
 
     o["x10_head_frequencies"] = f"""

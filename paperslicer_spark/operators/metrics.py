@@ -72,6 +72,38 @@ def corpus_quality(records: DataFrame) -> DataFrame:
     )
 
 
+def per_document_metrics(records: DataFrame) -> DataFrame:
+    """Per-document quality row — the reference's ``corpus_quality.csv``
+    shape (``evaluate_corpus.py:346-371``) for the columns computable
+    from a record: identity/meta presence, abstract length+presence,
+    section counts, the five canonical flags, media counts, noise.
+    (The reference's ``tei_heads_*``/``images_*`` columns require
+    parser-side head accounting / a rasterizer — documented out of
+    scope.) K6 sink twin: ``sinks.write_per_document_csv``."""
+    abstract = F.col("sections").getItem("abstract")
+    flags = [
+        F.col("sections").getItem(k).isNotNull().alias(k)
+        for k in ("introduction", "materials_and_methods", "results",
+                  "discussion", "conclusions")
+    ]
+    all_text = F.concat_ws(" ", F.map_values(F.col("sections")))
+    return records.select(
+        F.col("conv_id").alias("file"),
+        F.coalesce(F.col("title"), F.lit("")).alias("title"),
+        F.coalesce(F.col("doi"), F.lit("")).alias("doi"),
+        F.coalesce(F.col("journal"), F.lit("")).alias("journal"),
+        F.coalesce(F.length(abstract), F.lit(0)).alias("abstract_len"),
+        (F.coalesce(F.length(abstract), F.lit(0)) >= 30)
+        .alias("abstract_present"),
+        F.size(F.map_keys("sections")).alias("sections_count"),
+        F.size("other_sections").alias("other_sections_count"),
+        *flags,
+        F.size("figures").alias("figures_count"),
+        F.size("tables").alias("tables_count"),
+        F.format_string("%.4f", noise_ratio(all_text)).alias("noise_ratio"),
+    )
+
+
 def head_frequencies(records: DataFrame) -> DataFrame:
     """A6: unmapped (other_sections) head frequency, descending."""
     return (

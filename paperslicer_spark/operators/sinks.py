@@ -65,6 +65,18 @@ def write_mapping_suggestions(suggestions: DataFrame, out_dir: str) -> None:
         f.write("\n".join(f"{k} -> {v}" for k, v in sugg.items()))
 
 
+def write_per_document_csv(per_doc: DataFrame, path: str,
+                           partitions: int | None = None) -> None:
+    """K6: the reference's ``corpus_quality.csv`` analog — headered CSV
+    of per-document metrics (metrics.per_document_metrics). Partitioned
+    write; the reference's single file is a ``coalesce(1)`` away for
+    small corpora."""
+    df = per_doc
+    if partitions:
+        df = df.repartition(partitions)
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
 def write_small_export(df: DataFrame, path: str, max_rows: int = 100_000) -> None:
     """K3: single-file export, guarded against large results."""
     n = df.count()

@@ -288,3 +288,31 @@ def test_ivf_topk(spark):
     hits = sum(1 for qid in range(4)
                if got.get((qid, 1)) == exact.get((qid, 1)))
     assert hits >= 3, (got, exact)
+
+
+def test_per_document_metrics_and_csv(spark, corpus_path, tmp_path):
+    import glob
+
+    from paperslicer_spark.operators.assemble import assemble_documents
+    from paperslicer_spark.operators.extract import parse_documents
+    from paperslicer_spark.operators.metrics import per_document_metrics
+    from paperslicer_spark.operators.sinks import write_per_document_csv
+
+    records = parse_documents(assemble_documents(
+        spark.read.parquet(corpus_path)))
+    pdm = per_document_metrics(records)
+    rows = {r["file"]: r for r in pdm.collect()}
+    assert len(rows) == 40
+    r0 = rows["conv00000000"]
+    assert r0["abstract_present"] in (True, False)
+    assert r0["sections_count"] >= 1 and "." in r0["noise_ratio"]
+
+    out = str(tmp_path / "csvout")
+    write_per_document_csv(pdm, out, partitions=2)
+    import csv as _csv
+    got = []
+    for f in sorted(glob.glob(out + "/part-*.csv")):
+        with open(f, newline="") as fh:
+            got.extend(_csv.DictReader(fh))
+    assert len(got) == 40
+    assert {"file", "title", "noise_ratio", "figures_count"} <= set(got[0])
