@@ -52,7 +52,8 @@ def main() -> None:
     from paperslicer_spark.operators.extract import (
         parse_documents, parse_turns_fused, sections_long)
     from paperslicer_spark.operators.metrics import (
-        corpus_quality, partition_lineage)
+        corpus_quality, partition_lineage, per_document_metrics)
+    from paperslicer_spark.operators.sinks import write_per_document_csv
     from paperslicer_spark.operators.spans import extract_turn_spans
     from paperslicer_spark.plans.checkpoint import run_with_resume
     from paperslicer_spark.sources.transcripts import transcripts_df
@@ -82,8 +83,11 @@ def main() -> None:
     spans = extract_turn_spans(turns)
     partition_lineage(spans).write.mode("overwrite").parquet(
         os.path.join(args.output, "lineage"))
-    corpus_quality(records_of(turns)).write.mode(
+    records = records_of(turns)
+    corpus_quality(records).write.mode(
         "overwrite").parquet(os.path.join(args.output, "quality"))
+    write_per_document_csv(per_document_metrics(records),
+                           os.path.join(args.output, "quality_csv"))
     print("lineage + quality written")
     spark.stop()
 
