@@ -42,6 +42,13 @@ DEFAULT_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # multi-KB text payloads: cap rows per Arrow batch to bound worker memory
     "spark.sql.execution.arrow.maxRecordsPerBatch": "2000",
+    # ...AND cap batch BYTES: 2000 × 11 KB assembled payloads = 22 MB
+    # Arrow batches, and large contiguous socket writes degrade up to
+    # 5× under this host's memory-pressure episodes (measured: the
+    # payload-parse stage went 126 s → 26 s with a 4 MB cap while
+    # thin-row stages were unaffected). A byte cap adapts to row width
+    # where the row-count cap cannot.
+    "spark.sql.execution.arrow.maxBytesPerBatch": "4m",
     "spark.sql.session.timeZone": "UTC",
     # generous broadcast threshold: all our dimension tables are tiny
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
