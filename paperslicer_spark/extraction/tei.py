@@ -238,16 +238,23 @@ def _extract_affiliation(author_el: ET.Element) -> Optional[str]:
     return "; ".join(unique) if unique else None
 
 
-def _xall(root: ET.Element, steps: List[tuple]) -> List[ET.Element]:
+def _xall(doc: "_Doc", steps: List[tuple]) -> List[ET.Element]:
     """All elements matching a ``//``-style step chain from the root,
     in document order — the reference's lxml ``_all(root, "//a//b/c")``
     multi-match semantics (``parser.py:79-86``): each step collects
     matches under ALL nodes from the previous step, never "first
     container then give up if it lacks the child". ``steps`` is
     ``[(axis, tag)]`` with axis ``'desc'`` (``//``) or ``'child'``
-    (``/``). Nested same-tag containers dedup first-wins, which
-    preserves document order for trees."""
-    nodes = [root]
+    (``/``).
+
+    Every step's node-set is deduped and re-sorted by ``doc.order``
+    (the index ``_Doc`` precomputes from ``root.iter()``) — lxml
+    node-sets are always in document order, and with nested same-tag
+    containers a ``child`` step can otherwise emit an outer
+    container's child before a deeper, earlier-in-document one
+    (tests/lxml_shim.py sorts the same way after every step)."""
+    order = doc.order
+    nodes = [doc.root]
     for axis, tag in steps:
         nxt: List[ET.Element] = []
         seen = set()
@@ -260,6 +267,7 @@ def _xall(root: ET.Element, steps: List[tuple]) -> List[ET.Element]:
                     nxt.append(c)
         if not nxt:
             return []
+        nxt.sort(key=lambda e: order[id(e)])
         nodes = nxt
     return nodes
 
@@ -286,21 +294,21 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
     # //-xpath multi-match semantics throughout (parser.py:221-231):
     # first match across ALL teiHeaders / titleStmts / sourceDescs /
     # biblStructs / monogrs in document order
-    title = _txt(_first_of(_xall(root, [
+    title = _txt(_first_of(_xall(doc, [
         ("desc", "teiHeader"), ("desc", "titleStmt"), ("child", "title")])))
 
     doi = ""
-    for idno in _xall(root, [("desc", "teiHeader"), ("desc", "sourceDesc"),
+    for idno in _xall(doc, [("desc", "teiHeader"), ("desc", "sourceDesc"),
                              ("desc", "biblStruct"), ("desc", "idno")]):
         if idno.get("type") == "DOI":
             doi = _txt(idno)
             break
-    journal = _txt(_first_of(_xall(root, [
+    journal = _txt(_first_of(_xall(doc, [
         ("desc", "teiHeader"), ("desc", "sourceDesc"),
         ("desc", "biblStruct"), ("child", "monogr"), ("child", "title")])))
 
     authors: List[Dict[str, Optional[str]]] = []
-    for a in _xall(root, [("desc", "teiHeader"), ("desc", "sourceDesc"),
+    for a in _xall(doc, [("desc", "teiHeader"), ("desc", "sourceDesc"),
                           ("desc", "biblStruct"), ("child", "analytic"),
                           ("child", "author")]):
         pers = _child(a, "persName")
@@ -334,7 +342,7 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
     CANON = canonical_keys()
     NON_CONTENT = non_content_keys()
     # //text/body//div — ALL text elements, ALL body children
-    divs = _xall(root, [("desc", "text"), ("child", "body"), ("desc", "div")])
+    divs = _xall(doc, [("desc", "text"), ("child", "body"), ("desc", "div")])
     for div in divs:
         head = _txt(_child(div, "head"))
         if not head:
@@ -366,7 +374,7 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
 
     # ---- header abstract (body div named "abstract" wins) -----------
     # //teiHeader//profileDesc/abstract — first across ALL profileDescs
-    abs_el = _first_of(_xall(root, [
+    abs_el = _first_of(_xall(doc, [
         ("desc", "teiHeader"), ("desc", "profileDesc"), ("child", "abstract")]))
     if abs_el is not None:
         abs_txt = _txt(abs_el)
@@ -375,7 +383,7 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
 
     # ---- keywords + abstract-append quirk ----------------------------
     keywords: List[str] = []
-    for term in _xall(root, [("desc", "teiHeader"), ("desc", "profileDesc"),
+    for term in _xall(doc, [("desc", "teiHeader"), ("desc", "profileDesc"),
                              ("desc", "textClass"), ("desc", "keywords"),
                              ("desc", "term")]):
         kw = _txt(term)
@@ -408,7 +416,7 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
     fig_seen = set()
     tab_seen = set()
 
-    figs = _xall(root, [("desc", "text"), ("desc", "figure")])
+    figs = _xall(doc, [("desc", "text"), ("desc", "figure")])
     for fig in figs:
         ftype = (fig.get("type") or "").strip().lower()
         label_raw = _txt(_child(fig, "label"))
@@ -442,7 +450,7 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
                 figures.append(entry)
                 fig_seen.add(key)
 
-    tabs = _xall(root, [("desc", "text"), ("desc", "table")])
+    tabs = _xall(doc, [("desc", "text"), ("desc", "table")])
     for tab in tabs:
         head_el = _child(tab, "head")
         label_raw = (_txt(_child(head_el, "label")) if head_el is not None else "") or None
@@ -469,7 +477,7 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
 
     # ---- fallback tables: A) <ref type="table"> anchors ---------------
     existing_labels = {t.get("label") for t in tables if t.get("label")}
-    refs = _xall(root, [("desc", "text"), ("desc", "ref")])
+    refs = _xall(doc, [("desc", "text"), ("desc", "ref")])
     for ref in refs:
         if ref.get("type") != "table":
             continue
@@ -499,7 +507,7 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
         existing_labels.add(label)
 
     # ---- fallback tables: B) "Table 2. ..." paragraphs ----------------
-    paras = _xall(root, [("desc", "text"), ("desc", "p")])
+    paras = _xall(doc, [("desc", "text"), ("desc", "p")])
     for p in paras:
         t = _txt(p)
         if not t:
@@ -521,7 +529,7 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
     # ---- references ---------------------------------------------------
     references: List[Dict[str, Any]] = []
     # //text/back//listBibl/biblStruct
-    bibl_structs = _xall(root, [("desc", "text"), ("child", "back"),
+    bibl_structs = _xall(doc, [("desc", "text"), ("child", "back"),
                                 ("desc", "listBibl"), ("child", "biblStruct")])
     for idx, bibl in enumerate(bibl_structs, start=1):
         ref_id = bibl.get(XML_ID)

@@ -82,6 +82,13 @@ _COLS = ["conv_id", "status", "error", "title", "journal", "doi",
          "authors", "keywords", "sections", "other_sections",
          "figures", "tables", "references"]
 
+# "no conversation open yet" sentinel for the fused group-detection
+# loops. It must be distinct from None: the agg path's groupBy keeps a
+# NULL conv_id as a real group, so a genuine null key has to open and
+# close a group here too — `state["conv"] is None` would silently drop
+# every null-keyed turn (None != None is False, the group never opens).
+_UNSET = object()
+
 
 def _build_row(conv_id: str, payload: str, merge_tables: bool,
                review_mode: Optional[bool]) -> dict:
@@ -140,6 +147,22 @@ def _fused_partitions(t: DataFrame, partitions: Optional[int]) -> int:
     return max(t.sparkSession.sparkContext.defaultParallelism * 2, src_parts)
 
 
+def check_conv_alignment(turns: DataFrame) -> int:
+    """Number of conversations straddling >1 input partition — 0 means
+    the layout satisfies ``conv_aligned=True``'s contract. Diagnostic
+    (one groupBy shuffle over (conv_id, partition_id) pairs, no
+    payload bytes): run once when onboarding a new table layout, not
+    per job — the per-job guard is the free count assertion
+    (records == conversations) noted in ``parse_turns_fused``."""
+    return (
+        turns.select("conv_id", F.spark_partition_id().alias("pid"))
+        .groupBy("conv_id")
+        .agg(F.countDistinct("pid").alias("n_parts"))
+        .where(F.col("n_parts") > 1)
+        .count()
+    )
+
+
 def parse_turns_fused(turns: DataFrame, merge_tables: bool = True,
                       review_mode: Optional[bool] = None,
                       conv_aligned: bool = False,
@@ -167,6 +190,18 @@ def parse_turns_fused(turns: DataFrame, merge_tables: bool = True,
     ``conv_id``, sorted by ``turn_idx`` — plans/checkpoint.py DDL);
     the stage is then a pure map, like the spans hot path.
 
+    FILE-SPLIT CAVEAT: bucketing guarantees one bucket FILE per
+    conversation, but Spark splits large parquet files across tasks at
+    ``spark.sql.files.maxPartitionBytes`` boundaries — a bucket file
+    over that size can split one conversation into two input
+    partitions and silently emit two partial records. The layout
+    contract is therefore: bucket files under ``maxPartitionBytes``,
+    OR ``read.split.target-size`` >= the max file size / file
+    splitting disabled (checkpoint.py DDL notes the same). Cheap
+    runtime guard when doc count is known: assert output record count
+    == conversation count (bench_scaling.py does exactly this); or
+    run ``check_conv_alignment`` below on a new layout once.
+
     Long-conversation skew: a 1000× conversation is one Python group
     inside one task (bounded by its own payload size), never a hot
     reducer materializing a 10^5-element array — the skew-split salted
@@ -188,7 +223,7 @@ def parse_turns_fused(turns: DataFrame, merge_tables: bool = True,
         from paperslicer_spark.sources.transcripts import assemble_payload
 
         cols: dict = {c: [] for c in _COLS}
-        state = {"n": 0, "conv": None, "frags": [], "over": False}
+        state = {"n": 0, "conv": _UNSET, "frags": [], "over": False}
 
         def close_conv():
             if state["over"]:
@@ -206,7 +241,7 @@ def parse_turns_fused(turns: DataFrame, merge_tables: bool = True,
         for pdf in batches:
             for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
                 if conv_id != state["conv"]:
-                    if state["conv"] is not None:
+                    if state["conv"] is not _UNSET:
                         close_conv()
                     state["conv"], state["frags"] = conv_id, []
                     state["over"] = False
@@ -222,7 +257,7 @@ def parse_turns_fused(turns: DataFrame, merge_tables: bool = True,
                 for c in _COLS:
                     cols[c] = []
                 state["n"] = 0
-        if state["conv"] is not None:
+        if state["conv"] is not _UNSET:
             close_conv()
         if state["n"]:
             yield pd.DataFrame(cols)
@@ -236,8 +271,16 @@ SECTIONS_SCHEMA = (
 )
 
 
+# Marker label for error-document rows from the sections-only paths
+# (emit_errors=True): at corpus scale "the sections output is silently
+# smaller than the corpus" is an operational trap — the marker row
+# keeps per-document accounting possible on the minimal-bytes path.
+ERROR_SECTION_LABEL = "__error__"
+
+
 def extract_sections_direct(docs: DataFrame, merge_tables: bool = True,
-                            review_mode: Optional[bool] = None) -> DataFrame:
+                            review_mode: Optional[bool] = None,
+                            emit_errors: bool = False) -> DataFrame:
     """``(conv_id, payload)`` → long-form sections rows directly.
 
     Row-equivalent to ``sections_long(parse_documents(docs))`` but the
@@ -245,6 +288,12 @@ def extract_sections_direct(docs: DataFrame, merge_tables: bool = True,
     Arrow boundary — no nested record structs. Use when downstream
     needs only sections (the common 100 TB case); the full record
     stage remains the source of figures/tables/references/meta.
+
+    ``emit_errors=True`` emits one ``section_label='__error__'`` row
+    per failed document (clean_text = the error message,
+    is_canonical = false) so corpus-size accounting survives this
+    path; the default False keeps exact row parity with
+    ``sections_long(parse_documents(...))``, which drops error docs.
     """
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -263,7 +312,12 @@ def extract_sections_direct(docs: DataFrame, merge_tables: bool = True,
                     if review_mode is True or (review_mode is None
                                                and should_apply(rec)):
                         apply_review(rec)
-                except Exception:  # noqa: BLE001 — error-row model
+                except Exception as e:  # noqa: BLE001 — error-row model
+                    if emit_errors:
+                        conv_ids.append(conv_id)
+                        labels.append(ERROR_SECTION_LABEL)
+                        texts.append(f"{type(e).__name__}: {e}")
+                        canon.append(False)
                     continue
                 for k, v in rec["sections"].items():
                     conv_ids.append(conv_id)
@@ -286,14 +340,29 @@ def extract_sections_direct(docs: DataFrame, merge_tables: bool = True,
 def extract_sections_fused(turns: DataFrame, merge_tables: bool = True,
                            review_mode: Optional[bool] = None,
                            conv_aligned: bool = False,
-                           partitions: Optional[int] = None) -> DataFrame:
+                           partitions: Optional[int] = None,
+                           max_turns_per_conv: Optional[int] = None,
+                           emit_errors: bool = False) -> DataFrame:
     """Sections-only fused variant: assembly + parse + explode all
     inside ONE ``mapInPandas`` over (optionally repartitioned) raw
     turns — the minimal-bytes path when downstream needs only sections
     (the common 100 TB case): only flat section strings ever cross the
     Arrow boundary, no nested meta/media/reference structs.
     Row-identical to ``sections_long(parse_turns_fused(...))``
-    (error conversations yield no section rows either way)."""
+    (error conversations yield no section rows either way, unless
+    ``emit_errors=True`` adds a ``'__error__'`` marker row per failed
+    document for corpus-size accounting).
+
+    ``max_turns_per_conv`` is the same worker-memory guardrail as
+    ``parse_turns_fused``: a conversation exceeding it stops buffering
+    immediately (fragments are dropped as they stream in, so a 1 GB
+    adversarial conversation never accumulates in ``frags``) and
+    yields no section rows — or the error marker with
+    ``emit_errors=True`` — never a task OOM.
+
+    ``conv_aligned=True`` has the same layout contract as
+    ``parse_turns_fused`` — see its docstring for the file-split
+    caveat (bucket files must not be split across tasks)."""
     t = turns.select("conv_id", "turn_idx", "text")
     if not conv_aligned:
         t = t.repartition(_fused_partitions(t, partitions), "conv_id")
@@ -305,35 +374,50 @@ def extract_sections_fused(turns: DataFrame, merge_tables: bool = True,
 
         out = {"conv_id": [], "section_label": [], "clean_text": [],
                "is_canonical": []}
-        state = {"conv": None, "frags": []}
+        state = {"conv": _UNSET, "frags": [], "over": False}
+
+        def emit(label, text, canon):
+            out["conv_id"].append(state["conv"])
+            out["section_label"].append(label)
+            out["clean_text"].append(text)
+            out["is_canonical"].append(canon)
 
         def close_conv():
+            if state["over"]:
+                if emit_errors:
+                    emit(ERROR_SECTION_LABEL,
+                         f"oversized: > {max_turns_per_conv} turns", False)
+                return
             row = _build_row(state["conv"], assemble_payload(state["frags"]),
                              merge_tables, review_mode)
+            if row["status"] == "error":
+                if emit_errors:
+                    emit(ERROR_SECTION_LABEL, row["error"], False)
+                return
             for k, v in row["sections"].items():
-                out["conv_id"].append(state["conv"])
-                out["section_label"].append(k)
-                out["clean_text"].append(v)
-                out["is_canonical"].append(True)
+                emit(k, v, True)
             for os_ in row["other_sections"]:
-                out["conv_id"].append(state["conv"])
-                out["section_label"].append(os_["head"])
-                out["clean_text"].append(os_["text"])
-                out["is_canonical"].append(False)
+                emit(os_["head"], os_["text"], False)
 
         for pdf in batches:
             for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
                 if conv_id != state["conv"]:
-                    if state["conv"] is not None:
+                    if state["conv"] is not _UNSET:
                         close_conv()
                     state["conv"], state["frags"] = conv_id, []
+                    state["over"] = False
+                if state["over"]:
+                    continue  # oversized: drop fragments, never buffer
                 if text:
                     state["frags"].append(text)
+                    if (max_turns_per_conv
+                            and len(state["frags"]) > max_turns_per_conv):
+                        state["over"], state["frags"] = True, []
             if len(out["conv_id"]) >= 4096:
                 yield pd.DataFrame(out)
                 for k in out:
                     out[k] = []
-        if state["conv"] is not None:
+        if state["conv"] is not _UNSET:
             close_conv()
         if out["conv_id"]:
             yield pd.DataFrame(out)

@@ -21,7 +21,15 @@ Iceberg DDL for clusters that have the runtime jar::
       tool string, ts timestamp)
     USING iceberg
     PARTITIONED BY (bucket(4096, conv_id))
-    TBLPROPERTIES ('write.sort-order' = 'conv_id, turn_idx');
+    TBLPROPERTIES ('write.sort-order' = 'conv_id, turn_idx',
+      -- FILE-SPLIT CAVEAT: bucketing puts a conversation in one bucket
+      -- FILE, but Spark still splits files larger than
+      -- spark.sql.files.maxPartitionBytes across tasks, which would
+      -- split a conversation across partitions. Keep read splits at
+      -- least as large as the largest bucket file (or size bucket
+      -- files under maxPartitionBytes); verify a new layout once with
+      -- operators/extract.check_conv_alignment(...) == 0.
+      'read.split.target-size' = '536870912');
 
     CREATE TABLE sections (
       conv_id string, section_label string, is_canonical boolean,

@@ -222,6 +222,46 @@ def test_fused_parse_equals_agg_path(spark, turns):
     assert a == d
 
 
+def test_fused_parse_null_conv_id(spark):
+    """A genuine NULL conv_id is a real group: the agg path's groupBy
+    keeps the null key and emits a record row, so the fused paths must
+    open/close a group for it too (the 'no conversation open' sentinel
+    must be distinct from None)."""
+    from paperslicer_spark.operators.extract import (
+        extract_sections_fused, parse_turns_fused, sections_long)
+
+    rows = [
+        (None, 0, "tool",
+         "<teiHeader><fileDesc><titleStmt><title>NullKey</title>"
+         "</titleStmt></fileDesc></teiHeader>", "gen", None),
+        (None, 1, "tool", "<div><head>Results</head><p>null r.</p></div>",
+         "gen", None),
+        ("good", 0, "tool",
+         "<teiHeader><fileDesc><titleStmt><title>T</title></titleStmt>"
+         "</fileDesc></teiHeader>", "gen", None),
+        ("good", 1, "tool", "<div><head>Results</head><p>r.</p></div>",
+         "gen", None),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    via_agg = parse_documents(assemble_documents(turns), review_mode=None)
+    fused = parse_turns_fused(turns, review_mode=None, partitions=3)
+    a = sorted(_record_key(r) for r in via_agg.collect())
+    b = sorted(_record_key(r) for r in fused.collect())
+    assert a == b
+    assert len(b) == 2  # the null-keyed conversation is NOT dropped
+    by_title = {r["title"]: r for r in fused.collect()}
+    assert by_title["NullKey"]["conv_id"] is None
+    assert by_title["NullKey"]["status"] == "ok"
+    # sections-fused sibling: same sentinel rule
+    sf = sorted(map(tuple, extract_sections_fused(
+        turns, review_mode=None, partitions=3).collect()), key=repr)
+    sl = sorted(map(tuple, sections_long(via_agg).collect()), key=repr)
+    assert sf == sl
+    assert any(t[0] is None for t in sf)
+
+
 def test_fused_parse_extreme_skew(spark):
     """A 3000-turn conversation (1000× the median) is one Python group
     inside one task — must parse correctly alongside tiny neighbors."""
@@ -279,6 +319,88 @@ def test_fused_parse_error_rows(spark):
     assert out["bad"]["status"] == "error" and out["bad"]["error"]
     assert out["good"]["status"] == "ok"
     assert out["good"]["title"] == "T"
+
+
+def test_sections_fused_extreme_skew(spark):
+    """Mirror of test_fused_parse_extreme_skew for the sections-only
+    fused path: the max_turns_per_conv guardrail drops fragments as
+    they stream (bounded memory), the oversized conversation yields no
+    section rows (or the __error__ marker), neighbors unharmed."""
+    from paperslicer_spark.operators.extract import (
+        ERROR_SECTION_LABEL, extract_sections_fused)
+
+    rows = [("big", 0, "tool",
+             "<teiHeader><fileDesc><titleStmt><title>Big</title></titleStmt>"
+             "</fileDesc></teiHeader>", "gen", None)]
+    rows += [("big", i, "tool",
+              f"<div><head>Results</head><p>chunk {i} text.</p></div>",
+              "gen", None) for i in range(1, 3000)]
+    rows += [("tiny", 0, "tool",
+              "<teiHeader><fileDesc><titleStmt><title>Tiny</title>"
+              "</titleStmt></fileDesc></teiHeader>", "gen", None),
+             ("tiny", 1, "tool", "<div><head>Results</head><p>r.</p></div>",
+              "gen", None)]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    # uncapped: the 3000-turn conversation parses fine
+    full = extract_sections_fused(turns, partitions=4).collect()
+    big_results = [r for r in full
+                   if r["conv_id"] == "big" and r["section_label"] == "results"]
+    assert len(big_results) == 1
+    assert big_results[0]["clean_text"].count("chunk") == 2999
+    # capped: oversized conv yields NO section rows, tiny unharmed
+    capped = extract_sections_fused(
+        turns, partitions=4, max_turns_per_conv=100).collect()
+    assert not [r for r in capped if r["conv_id"] == "big"]
+    assert [r for r in capped if r["conv_id"] == "tiny"]
+    # capped + emit_errors: the __error__ marker keeps accounting
+    marked = extract_sections_fused(
+        turns, partitions=4, max_turns_per_conv=100,
+        emit_errors=True).collect()
+    errs = [r for r in marked if r["section_label"] == ERROR_SECTION_LABEL]
+    assert len(errs) == 1 and errs[0]["conv_id"] == "big"
+    assert "oversized" in errs[0]["clean_text"]
+    assert errs[0]["is_canonical"] is False
+
+
+def test_sections_error_visibility(spark):
+    """emit_errors=True: every input document is visible in the
+    sections output — parse failures appear as __error__ marker rows,
+    so sections-path doc coverage equals the records path's total
+    (ok + error) document count."""
+    from paperslicer_spark.operators.extract import (
+        ERROR_SECTION_LABEL, extract_sections_direct,
+        extract_sections_fused, parse_turns_fused)
+
+    rows = [
+        ("bad", 0, "tool", "not xml <<<", "gen", None),
+        ("good", 0, "tool",
+         "<teiHeader><fileDesc><titleStmt><title>T</title></titleStmt>"
+         "</fileDesc></teiHeader>", "gen", None),
+        ("good", 1, "tool", "<div><head>Results</head><p>r.</p></div>",
+         "gen", None),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    records = parse_turns_fused(turns).collect()
+    n_docs = len(records)
+
+    fused = extract_sections_fused(turns, emit_errors=True, partitions=2)
+    covered = {r["conv_id"] for r in fused.collect()}
+    assert len(covered) == n_docs == 2
+
+    docs = assemble_documents(turns)
+    direct = extract_sections_direct(docs, emit_errors=True).collect()
+    assert {r["conv_id"] for r in direct} == covered
+    err_rows = [r for r in direct if r["section_label"] == ERROR_SECTION_LABEL]
+    assert len(err_rows) == 1 and err_rows[0]["conv_id"] == "bad"
+    assert "Error" in err_rows[0]["clean_text"] or ":" in err_rows[0]["clean_text"]
+
+    # default (emit_errors=False) keeps exact parity: error docs absent
+    silent = extract_sections_fused(turns, partitions=2).collect()
+    assert {r["conv_id"] for r in silent} == {"good"}
 
 
 def test_sections_direct_equals_records_path(spark, turns):

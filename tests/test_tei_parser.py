@@ -95,6 +95,43 @@ MULTI_CONTAINER_TEI = """
 """
 
 
+# NESTED same-tag containers: a titleStmt inside a titleStmt. lxml's
+# //titleStmt/title node-set is in DOCUMENT order, so the inner (deeper
+# but earlier-in-document) title wins over the outer container's own
+# later child — a child-axis step must re-sort by doc order, not emit
+# per-container.
+NESTED_CONTAINER_TEI = """
+<TEI xmlns="http://www.tei-c.org/ns/1.0">
+  <teiHeader>
+    <fileDesc>
+      <titleStmt>
+        <titleStmt><title>Inner Nested Title</title></titleStmt>
+        <title>Outer Later Title</title>
+      </titleStmt>
+      <sourceDesc><biblStruct>
+        <monogr>
+          <monogr><title>Inner Journal</title></monogr>
+          <title>Outer Journal</title>
+        </monogr>
+      </biblStruct></sourceDesc>
+    </fileDesc>
+  </teiHeader>
+  <text><body>
+    <div><head>Results</head><p>Body content.</p></div>
+  </body></text>
+</TEI>
+"""
+
+
+def test_nested_container_doc_order(reference_modules):
+    ref_parser, _, _ = reference_modules
+    ref = ref_parser.tei_to_record(NESTED_CONTAINER_TEI.encode("utf-8"),
+                                   pdf_path="/p.pdf").to_dict()
+    mine = parse_tei(NESTED_CONTAINER_TEI, source_path="/p.pdf")
+    assert json.dumps(mine, sort_keys=True) == json.dumps(ref, sort_keys=True)
+    assert mine["meta"]["title"] == "Inner Nested Title"
+
+
 def test_multi_container_meta(reference_modules):
     ref_parser, _, _ = reference_modules
     ref = ref_parser.tei_to_record(MULTI_CONTAINER_TEI.encode("utf-8"),
