@@ -428,12 +428,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["x14_streaming_rates"] = x14_streaming_rates
 
     def x15_ivf_topk(spark, sf):
-        from paperslicer_spark.operators.similarity import ivf_topk
+        # IVF ANN against the FROZEN coarse quantizer
+        # (fixtures/ivf_centroids.parquet, trained once by
+        # freeze_fixtures.py --ivf): assignment + probing + top-k are
+        # deterministic relational ops DuckDB replays exactly — the
+        # production shape too (the model is never trained inside the
+        # query plan). Live training stays in similarity.ivf_topk,
+        # recall-tested in tests/test_operators_misc.py.
+        from paperslicer_spark.operators.similarity import ivf_topk_frozen
         e = _t(spark, sf, "embeddings")
-        res, _model = ivf_topk(e, e.where("vec_id < 8"), k=5,
-                               n_lists=16, n_probe=4, seed=42)
+        cents = spark.read.parquet(os.path.join(_FIX, "ivf_centroids.parquet"))
+        res = ivf_topk_frozen(e, e.where("vec_id < 8"), cents,
+                              k=5, n_probe=4)
         return res.select("query_id", "neighbor_id",
-                          F.col("rank").cast("bigint").alias("rank"))
+                          F.col("rank").cast("bigint").alias("rank"),
+                          "cos")
     q["x15_ivf_topk"] = x15_ivf_topk
 
     def x16_sections_direct(spark, sf):
@@ -986,6 +995,44 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+"""
+
+    # x15: full replay of the frozen-quantizer IVF path — nearest-list
+    # assignment (Euclidean, 6dp-rounded, list_id tiebreak), n_probe=4
+    # probing, cosine top-5 — from fixtures/ivf_centroids.parquet.
+    o["x15_ivf_topk"] = f"""
+WITH cent AS (SELECT list_id, center FROM '{_FIX}/ivf_centroids.parquet'),
+ dists AS (
+   SELECT e.vec_id, c.list_id,
+     round(list_distance(CAST(e.embedding AS DOUBLE[]),
+                         CAST(c.center AS DOUBLE[])), 6) AS dist
+   FROM embeddings e CROSS JOIN cent c),
+ assign AS (
+   SELECT vec_id, list_id FROM (
+     SELECT vec_id, list_id,
+       row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dist, list_id) AS rn
+     FROM dists) WHERE rn = 1),
+ probes AS (
+   SELECT vec_id AS query_id, list_id FROM (
+     SELECT vec_id, list_id,
+       row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dist, list_id) AS rn
+     FROM dists WHERE vec_id < 8) WHERE rn <= 4),
+ scored AS (
+   SELECT p.query_id, a.vec_id AS neighbor_id,
+     round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(n.embedding AS DOUBLE[])), 6) AS cos
+   FROM probes p
+   JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+   JOIN embeddings q ON q.vec_id = p.query_id
+   JOIN embeddings n ON n.vec_id = a.vec_id)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT query_id, neighbor_id,
+    CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+    cos
+  FROM scored) WHERE rank <= 5
 """
 
     # x09: full INDEPENDENT SQL recomputation of MinHash-LSH banding

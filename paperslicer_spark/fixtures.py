@@ -155,6 +155,30 @@ def build_all(spark) -> dict[str, pd.DataFrame]:
     return frames
 
 
+def build_ivf_centroids(spark, sf_dir: str = "/root/testdata/sf0.01",
+                        n_lists: int = 16, seed: int = 42) -> pd.DataFrame:
+    """Train the IVF coarse quantizer once and freeze its centroids —
+    the model artifact for ``similarity.ivf_topk_frozen``.
+
+    Unlike the extraction fixtures this is NOT parity-gated byte-exact:
+    KMeans float reductions vary with partitioning, and ANY centroid
+    set defines a valid (deterministically replayable) IVF index — the
+    frozen table is a model, not a derived output. Regenerated only
+    with ``freeze_fixtures.py --ivf``. x15's correctness signal is the
+    DuckDB oracle replaying assignment+probe+top-k from this table.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    feat = emb.select(array_to_vector("embedding").alias("features"))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(feat)
+    return pd.DataFrame({
+        "list_id": range(n_lists),
+        "center": [[float(x) for x in c] for c in model.clusterCenters()],
+    })
+
+
 def write_all(frames: dict[str, pd.DataFrame],
               out_dir: str = FIXTURE_DIR) -> None:
     os.makedirs(out_dir, exist_ok=True)

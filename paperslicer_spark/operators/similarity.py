@@ -37,6 +37,16 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def euclid(a, b):
+    """Euclidean distance, JVM-side (zip_with + aggregate)."""
+    return F.sqrt(F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank, cos).
@@ -116,7 +126,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         F.col("dist").asc(), F.col("list_id").asc())
     probes = (
         F.broadcast(q).crossJoin(centers_df)
-        .withColumn("dist", -_dot(F.col("qvec"), F.col("center")))
+        # probe ranking must use the SAME metric KMeans assigned members
+        # by (Euclidean) — ranking lists by -dot(q, center) silently
+        # probes the wrong lists for unnormalized embeddings
+        .withColumn("dist", euclid(F.col("qvec"), F.col("center")))
         .withColumn("pr", F.row_number().over(probe_w))
         .where(F.col("pr") <= n_probe)
         .select("query_id", "qvec", "list_id")
@@ -135,6 +148,77 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .select("query_id", "neighbor_id", "rank", "cos")
     )
     return out, model
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Deterministic nearest-centroid assignment: ``(id, list_id)``.
+
+    Distance is Euclidean rounded to 6dp BEFORE the argmin with a
+    ``list_id`` tiebreak, so a SQL engine recomputing the same
+    distances agrees exactly (the q12 cross-engine tie rule).
+    ``centroids`` is ``(list_id int, center array<double>)`` — small by
+    contract, broadcast. The argmin is ``min_by`` under a ``groupBy``
+    (map-side partial agg), never a window over the exploded
+    corpus×centroids rows — at 100 TB the assignment output is a thin
+    (id, list_id) table written partitioned by ``list_id``.
+    """
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            id_col,
+            F.col("list_id"),
+            F.round(euclid(F.col("_v"), F.col("center")), 6).alias("dist"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.min_by("list_id", F.struct("dist", "list_id")).alias("list_id"))
+
+
+def ivf_topk_frozen(corpus: DataFrame, queries: DataFrame,
+                    centroids: DataFrame, k: int = 5, n_probe: int = 3,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF top-k against a FROZEN centroid table — fully deterministic
+    and SQL-replayable (the x15 oracle path): train once offline
+    (``ivf_topk``'s KMeans, or any trainer), persist the centroids,
+    then assignment + probing + scoring are pure relational ops both
+    engines can replay. This mirrors the production shape too — at
+    100 TB the model is trained on a sample and applied everywhere;
+    training is never part of the query plan.
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col) \
+        .withColumnRenamed(id_col, "neighbor_id")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec")).join(
+        assigned, "neighbor_id")
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("list_id").asc())
+    probes = (
+        F.broadcast(q).crossJoin(F.broadcast(centroids))
+        .withColumn("dist", F.round(euclid(F.col("qvec"), F.col("center")), 6))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "qvec", "list_id")
+    )
+    scored = (
+        F.broadcast(probes).join(c, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
 
 
 def cosine_dup_pairs(corpus: DataFrame, threshold: float = 0.9,

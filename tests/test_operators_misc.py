@@ -290,6 +290,79 @@ def test_ivf_topk(spark):
     assert hits >= 3, (got, exact)
 
 
+def test_ivf_probe_metric_unnormalized(spark):
+    """Probe ranking must use the metric KMeans assigned by (Euclidean):
+    on vectors with wildly varying norms, -dot(q, center) probes the
+    LARGEST-norm centroids, not the nearest — recall@1 collapses. With
+    the Euclidean probe, n_probe=1 must find each query's own list and
+    n_probe=4 must reach brute-force recall on this separable corpus."""
+    import numpy as np
+
+    from paperslicer_spark.operators.similarity import (
+        brute_force_topk, ivf_topk)
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # 8 well-separated cluster anchors with very different norms
+    # (0.5×, 1×, ... 40×) — the regime where dot-product probing
+    # systematically picks the big-norm lists
+    anchors = rng.normal(size=(8, 16))
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    scales = [0.5, 1.0, 2.0, 5.0, 10.0, 20.0, 30.0, 40.0]
+    vid = 0
+    for a, s in zip(anchors, scales):
+        for _ in range(12):
+            v = a * s + rng.normal(scale=0.01 * s, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    queries = emb.where("vec_id % 12 = 0")  # one per cluster
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in brute_force_topk(emb, queries, k=3).collect()}
+    for n_probe, min_hits in ((1, 20), (4, 24)):
+        approx, _ = ivf_topk(emb, queries, k=3, n_lists=8,
+                             n_probe=n_probe, seed=11)
+        got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+               for r in approx.collect()}
+        hits = sum(1 for key, nb in exact.items() if got.get(key) == nb)
+        # every query's nearest centroid is (a fragment of) its own
+        # cluster, so rank-1 must be exact even at n_probe=1; total
+        # recall at n_probe=1 tolerates KMeans splitting a true
+        # cluster across two lists, and n_probe=4 must be exhaustive.
+        # (A -dot(q,center) probe ranking drags small-norm queries to
+        # whichever big-norm list correlates positively — rank-1
+        # misses its own cluster entirely.)
+        rank1 = sum(1 for qid in range(0, 96, 12)
+                    if got.get((qid, 1)) == exact.get((qid, 1)))
+        assert rank1 == 8, (n_probe, got, exact)
+        assert hits >= min_hits, (n_probe, hits, got, exact)
+
+
+def test_ivf_topk_frozen_matches_live(spark):
+    """ivf_topk_frozen replays the live path exactly when fed the same
+    trained centroids — the x15 fixture contract."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from paperslicer_spark.operators.similarity import (
+        ivf_topk, ivf_topk_frozen)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id < 4")
+    live, model = ivf_topk(emb, queries, k=3, n_lists=8, n_probe=3, seed=42)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c])
+         for i, c in enumerate(model.clusterCenters())],
+        "list_id int, center array<double>")
+    frozen = ivf_topk_frozen(emb, queries, cents, k=3, n_probe=3)
+    a = sorted(map(tuple, live.collect()))
+    b = sorted(map(tuple, frozen.collect()))
+    # probe/assignment rule is shared (Euclidean); the frozen path
+    # additionally recomputes assignment from centroids instead of
+    # trusting model.transform — identical on non-degenerate data
+    assert a == b
+
+
 def test_per_document_metrics_and_csv(spark, corpus_path, tmp_path):
     import glob
 
