@@ -2,17 +2,22 @@
 
 Image/audio/video payloads are carried as ``binary`` columns with a
 typed metadata struct; decode / feature-extract / resize / frame-
-sample run as Arrow-batched ``mapInPandas`` stages. The real codecs
-(PIL/ffmpeg/torchvision) are NOT in this container, so the byte-level
-decode is stubbed — but everything Spark-side is real and tested:
-schemas, partitioning, UDF signatures, batch shapes, and a
-deterministic fake codec so pipelines have stable bytes end-to-end.
+sample run as Arrow-batched ``mapInPandas`` stages. Two codecs are
+real here:
 
-Fake codec format (deterministic, seeded):
+- **PNG** (non-interlaced, 8-bit gray/gray+alpha/RGB/RGBA): a
+  stdlib-``zlib`` decoder/encoder below (``decode_png`` /
+  ``encode_png``) — genuine pixel payloads work end-to-end through
+  the filters/features/resize stages, no PIL required;
+- a deterministic **fake codec** for synthetic corpora:
   ``b"FAKEIMG" + width:uint16 + height:uint16 + fmt:1byte + pixels``
-where pixels are ``width*height`` seeded bytes. ``decode_strict=True``
-raises ``NotImplementedError`` for payloads that are not fake-codec —
-the marked extension point for a real decoder.
+  with ``width*height`` seeded bytes.
+
+JPEG/webp/ffmpeg formats are NOT decodable in this container
+(``strict=True`` raises ``NotImplementedError`` for them — the marked
+extension point for PIL/libvips); everything Spark-side — schemas,
+partitioning, UDF signatures, batch shapes — is identical whichever
+codec produced the bytes.
 """
 
 from __future__ import annotations
@@ -60,6 +65,140 @@ def decode_fake_image(payload: bytes, strict: bool = False):
     off = len(_MAGIC) + 5
     pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=off)
     return w, h, _FMTS[f], pixels
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per pixel by PNG color type: gray, RGB, gray+alpha, RGBA
+_PNG_NCH = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes):
+    """Minimal stdlib PNG decoder — deflate + per-row filters, no PIL.
+
+    Handles non-interlaced 8-bit gray / gray+alpha / RGB / RGBA (the
+    overwhelming majority of document-page renders). Color is reduced
+    to luma ``(299 R + 587 G + 114 B) // 1000``; alpha is ignored —
+    the pixel consumers here (ink/blank stats, histograms, resize)
+    are luminance-based. Returns ``(w, h, gray_uint8_flat)`` or raises
+    ``ValueError``/``NotImplementedError`` on malformed/unsupported
+    input.
+    """
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = color = None
+    idat: list = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # 4 len + 4 type + data + 4 crc
+        if ctype == b"IHDR":
+            w, h, bitd, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if bitd != 8 or interlace != 0 or color not in _PNG_NCH:
+                raise NotImplementedError(
+                    "only 8-bit non-interlaced gray/RGB/RGBA PNG "
+                    f"(bit_depth={bitd} color={color} interlace={interlace})")
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    nch = _PNG_NCH[color]
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG scanline data truncated")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        row = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
+        p += 1 + stride
+        if f == 1:    # Sub
+            for x in range(nch, stride):
+                row[x] = (int(row[x]) + int(row[x - nch])) & 0xFF
+        elif f == 2:  # Up (uint8 addition wraps mod 256 — the spec)
+            row += prev
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - nch]) if x >= nch else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = row
+        prev = row
+    px = out.reshape(h, w, nch)
+    if nch in (1, 2):
+        gray = px[:, :, 0]
+    else:
+        rgb = px[:, :, :3].astype(np.int32)
+        gray = ((rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587
+                 + rgb[:, :, 2] * 114) // 1000).astype(np.uint8)
+    return w, h, np.ascontiguousarray(gray).reshape(-1)
+
+
+def encode_png(pixels) -> bytes:
+    """Grayscale uint8 H×W → a real (filter-0, color-type-0) PNG via
+    stdlib zlib — the round-trip twin of :func:`decode_png` and the
+    fixture hook for genuine-payload tests."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def decode_image(payload: bytes, strict: bool = False):
+    """Codec dispatch → ``(width, height, fmt, flat_uint8_pixels)``.
+
+    Fake-codec and real PNG payloads decode; other formats return
+    ``None`` (or raise with ``strict=True`` — the PIL extension
+    point). Every pixel consumer below goes through this, so real PNG
+    bytes flow through filters/features/resize unchanged."""
+    if payload and payload.startswith(_MAGIC):
+        return decode_fake_image(payload)
+    if payload and payload.startswith(_PNG_MAGIC):
+        try:
+            w, h, gray = decode_png(payload)
+            return w, h, "png", gray
+        except NotImplementedError:
+            if strict:
+                raise
+            return None
+        except Exception:
+            return None  # malformed payload → filtered, never a task kill
+    if strict:
+        raise NotImplementedError(
+            "real decoding of non-PNG formats requires PIL/libvips — "
+            "not available in this container")
+    return None
 
 
 def encode_pixels(pixels, fmt: str = "png") -> bytes:
@@ -118,7 +257,7 @@ def extract_features(assets: DataFrame, n_bins: int = 8) -> DataFrame:
             for aid, cid, kind, payload in zip(
                 pdf["asset_id"], pdf["conv_id"], pdf["kind"], pdf["payload"]
             ):
-                dec = decode_fake_image(bytes(payload))
+                dec = decode_image(bytes(payload))
                 if dec is None:
                     continue
                 w, h, _, px = dec
@@ -153,7 +292,7 @@ def content_stats(assets: DataFrame, dark_threshold: int = 128) -> DataFrame:
             for aid, cid, kind, payload in zip(
                 pdf["asset_id"], pdf["conv_id"], pdf["kind"], pdf["payload"]
             ):
-                dec = decode_fake_image(bytes(payload))
+                dec = decode_image(bytes(payload))
                 if dec is None:
                     continue
                 w, h, _, px = dec
@@ -186,7 +325,7 @@ def filter_blank_lowink(assets: DataFrame, min_std: float = 1.0,
         for pdf in batches:
             keep = []
             for i, payload in enumerate(pdf["payload"]):
-                dec = decode_fake_image(bytes(payload))
+                dec = decode_image(bytes(payload))
                 if dec is None:
                     keep.append(False)
                     continue
@@ -215,7 +354,7 @@ class TableRegionValidator:
         self.max_ink = max_ink
 
     def is_valid(self, payload: bytes, bbox) -> bool:
-        dec = decode_fake_image(bytes(payload))
+        dec = decode_image(bytes(payload))
         if dec is None:
             return False
         w, h, _, px = dec
@@ -278,7 +417,7 @@ def resize_assets(assets: DataFrame, max_side: int = 32) -> DataFrame:
                 pdf["asset_id"], pdf["conv_id"], pdf["kind"],
                 pdf["payload"], pdf["meta"]
             ):
-                dec = decode_fake_image(bytes(payload))
+                dec = decode_image(bytes(payload))
                 if dec is None:
                     continue
                 w, h, fmt, px = dec
@@ -287,8 +426,13 @@ def resize_assets(assets: DataFrame, max_side: int = 32) -> DataFrame:
                 grid = px.reshape(h, w)[
                     np.linspace(0, h - 1, nh).astype(int)][:,
                     np.linspace(0, w - 1, nw).astype(int)]
-                out = (_MAGIC + struct.pack("<HHB", nw, nh, _FMTS.index(fmt))
-                       + grid.astype("uint8").tobytes())
+                if bytes(payload).startswith(_PNG_MAGIC):
+                    # real PNG in → real PNG out (stdlib encoder)
+                    out = encode_png(grid.astype("uint8"))
+                else:
+                    out = (_MAGIC
+                           + struct.pack("<HHB", nw, nh, _FMTS.index(fmt))
+                           + grid.astype("uint8").tobytes())
                 cols["asset_id"].append(int(aid))
                 cols["conv_id"].append(cid)
                 cols["kind"].append(kind)
