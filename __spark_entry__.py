@@ -499,6 +499,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return MX.mapping_suggestions(_synth_records(spark))
     q["x18_mapping_suggestions"] = x18_mapping_suggestions
 
+    def x25_suggestions_loop(spark, sf):
+        # closed mapping-improvement loop: accepted x18 suggestions are
+        # folded back into the broadcast mapping dimension and the
+        # unmapped rate drops (reference README.md:614's 39%→61% flow)
+        from paperslicer_spark.operators.extract import sections_long
+        from paperslicer_spark.operators.metrics import (
+            apply_mapping_suggestions, unmapped_rate)
+        records = _synth_records(spark)
+        sections = sections_long(records)
+        accepted = MX.mapping_suggestions(records)
+        before = unmapped_rate(sections)
+        after = unmapped_rate(apply_mapping_suggestions(sections, accepted))
+        return before.select(
+            "n_sections",
+            F.col("n_unmapped").alias("unmapped_before"),
+            F.col("unmapped_rate").alias("rate_before"),
+        ).crossJoin(after.select(
+            F.col("n_unmapped").alias("unmapped_after"),
+            F.col("unmapped_rate").alias("rate_after"),
+        ))
+    q["x25_suggestions_loop"] = x25_suggestions_loop
+
     def x19_pixel_filters(spark, sf):
         # pixel-content media filter over the fake-codec assets:
         # (kept vs dropped) content stats, deterministic corpus
@@ -1152,6 +1174,31 @@ SELECT head,
   CASE {sugg_whens} END AS suggestion, count
 FROM norm
 WHERE n <> '' AND (CASE {sugg_whens} END) IS NOT NULL
+"""
+
+    # x25: the closed suggestion loop — accepted x18 suggestions folded
+    # back into the mapping; rate_after < rate_before is the
+    # reference's README improvement flow as a checkable query.
+    o["x25_suggestions_loop"] = f"""
+WITH sec AS (SELECT section_label, is_canonical
+             FROM '{_FIX}/rec_sections.parquet'),
+ heads AS (
+  SELECT section_label AS head, count(*) AS count
+  FROM sec WHERE NOT is_canonical GROUP BY 1),
+ norm AS (SELECT head, count, {sanitize_head} AS n FROM heads),
+ sugg AS (SELECT head FROM norm
+          WHERE n <> '' AND (CASE {sugg_whens} END) IS NOT NULL)
+SELECT count(*) AS n_sections,
+  count(*) FILTER (WHERE NOT is_canonical) AS unmapped_before,
+  round(count(*) FILTER (WHERE NOT is_canonical) * 1.0 / count(*), 6)
+    AS rate_before,
+  count(*) FILTER (WHERE NOT is_canonical
+                   AND section_label NOT IN (SELECT head FROM sugg))
+    AS unmapped_after,
+  round(count(*) FILTER (WHERE NOT is_canonical
+                         AND section_label NOT IN (SELECT head FROM sugg))
+        * 1.0 / count(*), 6) AS rate_after
+FROM sec
 """
 
     fz_f = _fuzzy_sql("n_exp_f", "n_act_f",

@@ -150,6 +150,34 @@ def _stateful_fn(emit):
 _assemble_fn = _stateful_fn(_emit)
 
 
+def dedup_after(df, id_col: str = "conv_id", status_col: str = "status",
+                prefer: str = "ok"):
+    """One-call downstream remedy for the documented tombstone-expiry
+    residual: a fragment arriving after the tombstone aged out re-seeds
+    state and later emits a duplicate (near-empty ``status='timeout'``)
+    row set for an already-output conv_id. This picks ONE winning
+    status per conv_id — ``prefer`` (default 'ok') first, then the
+    larger row group, then lexical status — and keeps only that group's
+    rows, so it works for both the summary output (1 row/conv) and the
+    sections output (N rows/conv).
+
+    Residual it does NOT cover: two emissions with the SAME status for
+    one conv_id (exactly-once broken upstream of this operator) —
+    disambiguating those needs an event-time/epoch column from the
+    source.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    grp = df.groupBy(id_col, status_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.when(F.col(status_col) == prefer, 0).otherwise(1).asc(),
+        F.col("_n").desc(), F.col(status_col).asc())
+    winners = (grp.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1).select(id_col, status_col))
+    return df.join(winners, [id_col, status_col], "left_semi")
+
+
 def assemble_stream(turns, with_timeout: bool = False,
                     output: str = "summary") -> "DataFrame":  # noqa: F821
     """turns stream → per-completed-conversation output.

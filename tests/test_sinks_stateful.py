@@ -76,6 +76,92 @@ def test_stateful_assembly_tombstone(spark, tmp_path):
     assert [(r["conv_id"], r["status"]) for r in rows] == [("cx", "ok")]
 
 
+class _FakeState:
+    """Minimal GroupState double for driving _stateful_fn directly —
+    processing-time timeouts never settle under processAllAvailable()
+    in tests, so the expiry path is pinned at the function level."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def getCurrentProcessingTimeMs(self):
+        return 0
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_tombstone_expiry_straggler_duplicate(spark):
+    """Pin the documented residual risk: after the tombstone ages out,
+    an extremely late straggler RE-SEEDS state and eventually emits a
+    duplicate (timeout) row for an already-output conv_id — and
+    dedup_after is the one-call downstream remedy."""
+    import pandas as pd
+
+    from paperslicer_spark.streaming.stateful_assemble import (
+        _assemble_fn, dedup_after)
+
+    def batch(rows):
+        return [pd.DataFrame(rows, columns=["turn_idx", "text"])]
+
+    st = _FakeState()
+    # 1. full conversation arrives and emits ok
+    out1 = list(_assemble_fn(("cx",), batch([
+        (0, "<teiHeader><fileDesc><titleStmt><title>X</title></titleStmt>"
+            "</fileDesc></teiHeader>"),
+        (1, "<div><head>Results</head><p>r.</p></div>"),
+        (2, "<back></back>"),
+    ]), st))
+    assert len(out1) == 1 and out1[0]["status"][0] == "ok"
+    assert st.get == ([], [], True)  # tombstone
+    # 2. tombstone ages out silently (no re-emission)
+    st.hasTimedOut = True
+    assert list(_assemble_fn(("cx",), iter(()), st)) == []
+    assert not st.exists
+    st.hasTimedOut = False
+    # 3. post-expiry straggler re-seeds fresh state...
+    assert list(_assemble_fn(("cx",), batch(
+        [(3, "<div><p>late straggler</p></div>")]), st)) == []
+    assert st.exists and st.get[2] is False
+    # 4. ...and its own timeout emits the DUPLICATE timeout row
+    st.hasTimedOut = True
+    out2 = list(_assemble_fn(("cx",), iter(()), st))
+    assert len(out2) == 1 and out2[0]["status"][0] == "timeout"
+
+    # the one-call remedy: first-wins on conv_id, 'ok' preferred
+    dup = spark.createDataFrame(pd.concat([out1[0], out2[0]]))
+    kept = dedup_after(dup).collect()
+    assert [(r["conv_id"], r["status"]) for r in kept] == [("cx", "ok")]
+
+    # sections-shaped frame: winner group keeps ALL its rows
+    sec = spark.createDataFrame(
+        [("cy", "ok", "results", "r", True),
+         ("cy", "ok", "abstract", "a", True),
+         ("cy", "timeout", None, None, None),
+         ("cz", "timeout", None, None, None)],
+        "conv_id string, status string, section_label string, "
+        "clean_text string, is_canonical boolean")
+    kept2 = sorted((r["conv_id"], r["status"], r["section_label"])
+                   for r in dedup_after(sec).collect())
+    assert kept2 == [("cy", "ok", "abstract"), ("cy", "ok", "results"),
+                     ("cz", "timeout", None)]
+
+
 def test_stateful_sections_stream(spark, corpus_path, tmp_path):
     """output='sections': streamed long-form sections equal the batch
     pipeline's (same parse settings: no merge, no review)."""
