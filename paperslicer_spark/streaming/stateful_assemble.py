@@ -86,6 +86,13 @@ def _emit_sections(conv_id: str, turn_idxs, texts, status: str) -> pd.DataFrame:
     rows += [{"conv_id": conv_id, "status": status, "section_label": k,
               "clean_text": v, "is_canonical": False}
              for k, v in rec["other_sections"].items()]
+    if not rows and status != "ok":
+        # oversized/timeout conversations with nothing parseable still
+        # leave one accounting row — same rationale as the batch
+        # paths' emit_errors marker
+        rows = [{"conv_id": conv_id, "status": status,
+                 "section_label": None, "clean_text": None,
+                 "is_canonical": None}]
     return pd.DataFrame(rows, columns=["conv_id", "status",
                                        "section_label", "clean_text",
                                        "is_canonical"])
@@ -99,9 +106,17 @@ def _set_timeout(state: GroupState, ms: int = 60_000) -> None:
             pass
 
 
-def _stateful_fn(emit):
+def _stateful_fn(emit, max_turns_per_conv=None):
     """Build the applyInPandasWithState function around an ``emit``
-    callback ``(conv_id, turn_idxs, texts, status) -> pd.DataFrame``."""
+    callback ``(conv_id, turn_idxs, texts, status) -> pd.DataFrame``.
+
+    ``max_turns_per_conv`` is the state-store guardrail (the streaming
+    twin of the batch paths' argument): a conversation whose buffered
+    fragment count exceeds it stops accumulating immediately — its
+    state collapses to an ``oversized`` marker that emits one
+    ``status='oversized'`` row and then tombstones, so an adversarial
+    never-ending conversation bounds BOTH executor memory and the
+    state store, instead of growing until the timeout."""
 
     def fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
@@ -134,6 +149,13 @@ def _stateful_fn(emit):
                 texts.append(tx)
                 if tx.startswith("<back"):
                     complete = True
+        if (max_turns_per_conv and not complete
+                and len(texts) > max_turns_per_conv):
+            # oversized: emit the marker now, drop the buffer, tombstone
+            state.update(([], [], True))
+            _set_timeout(state)
+            yield emit(conv_id, [], [], "oversized")
+            return
         if complete:
             # keep a tombstone (emitted=true) instead of removing state,
             # so late fragments for an already-output conv are ignored
@@ -179,7 +201,8 @@ def dedup_after(df, id_col: str = "conv_id", status_col: str = "status",
 
 
 def assemble_stream(turns, with_timeout: bool = False,
-                    output: str = "summary") -> "DataFrame":  # noqa: F821
+                    output: str = "summary",
+                    max_turns_per_conv: int | None = None) -> "DataFrame":  # noqa: F821
     """turns stream → per-completed-conversation output.
 
     ``output='summary'`` emits one record-summary row per conversation;
@@ -192,10 +215,16 @@ def assemble_stream(turns, with_timeout: bool = False,
     ``processAllAvailable()``-style test harnesses, processing-time
     timeouts keep scheduling evaluation batches and the call never
     settles, so tests run without eviction.
+
+    ``max_turns_per_conv`` bounds per-conversation state (see
+    ``_stateful_fn``) — without it an adversarial never-closing
+    conversation grows the state store until the timeout fires.
     """
     fn, schema = {
-        "summary": (_assemble_fn, OUTPUT_SCHEMA),
-        "sections": (_stateful_fn(_emit_sections), SECTIONS_OUTPUT_SCHEMA),
+        "summary": (_stateful_fn(_emit, max_turns_per_conv),
+                    OUTPUT_SCHEMA),
+        "sections": (_stateful_fn(_emit_sections, max_turns_per_conv),
+                     SECTIONS_OUTPUT_SCHEMA),
     }[output]
     return (
         turns.groupBy("conv_id")

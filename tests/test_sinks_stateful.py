@@ -162,6 +162,43 @@ def test_tombstone_expiry_straggler_duplicate(spark):
                      ("cz", "timeout", None)]
 
 
+def test_stateful_oversize_guardrail():
+    """Streaming twin of the batch max_turns_per_conv guardrail: a
+    never-closing conversation stops accumulating state once over the
+    cap — one 'oversized' marker row, then a tombstone."""
+    import pandas as pd
+
+    from paperslicer_spark.streaming.stateful_assemble import (
+        _emit, _emit_sections, _stateful_fn)
+
+    def batch(rows):
+        return [pd.DataFrame(rows, columns=["turn_idx", "text"])]
+
+    fn = _stateful_fn(_emit, max_turns_per_conv=100)
+    st = _FakeState()
+    frags = [(i, f"<div><p>chunk {i}.</p></div>") for i in range(60)]
+    assert list(fn(("cb",), batch(frags), st)) == []
+    assert len(st.get[1]) == 60  # buffering below the cap
+    out = list(fn(("cb",), batch([(60 + i, t) for i, (_, t) in
+                                  enumerate(frags)]), st))
+    assert len(out) == 1
+    assert out[0]["status"][0] == "oversized"
+    assert out[0]["n_turns"][0] == 0
+    assert st.get == ([], [], True)  # tombstoned: state is bounded
+    # further fragments are dropped, nothing re-emitted
+    assert list(fn(("cb",), batch([(200, "<back></back>")]), st)) == []
+    assert st.get == ([], [], True)
+
+    # sections output: the marker row keeps accounting
+    fn2 = _stateful_fn(_emit_sections, max_turns_per_conv=10)
+    st2 = _FakeState()
+    out2 = list(fn2(("cs",), batch(
+        [(i, f"<div><p>c{i}.</p></div>") for i in range(11)]), st2))
+    assert len(out2) == 1
+    assert list(out2[0]["status"]) == ["oversized"]
+    assert out2[0]["section_label"][0] is None
+
+
 def test_stateful_sections_stream(spark, corpus_path, tmp_path):
     """output='sections': streamed long-form sections equal the batch
     pipeline's (same parse settings: no merge, no review)."""
