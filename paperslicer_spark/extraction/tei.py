@@ -267,7 +267,11 @@ def _xall(doc: "_Doc", steps: List[tuple]) -> List[ET.Element]:
                     nxt.append(c)
         if not nxt:
             return []
-        nxt.sort(key=lambda e: order[id(e)])
+        # a step under a SINGLE parent is already doc-ordered (iter()
+        # is DFS order; child lists are in order) — only a multi-parent
+        # step can interleave, so only then pay the sort
+        if len(nodes) > 1 and len(nxt) > 1:
+            nxt.sort(key=lambda e: order[id(e)])
         nodes = nxt
     return nodes
 

@@ -53,6 +53,11 @@ N_SMALL = int(os.environ.get("SCALING_SMALL", "8"))
 N_BIG = int(os.environ.get("SCALING_BIG", str(N_SMALL * 4)))
 CORES = [int(c) for c in os.environ.get(
     "SCALING_CORES", f"{N_SMALL},{N_BIG}").split(",")]
+# subset of jobs to measure (comma list), e.g. SCALING_JOBS=shuffle for
+# the cheap repeated runs that establish records_shuffle's run-to-run
+# spread; default measures everything
+JOBS = set(os.environ.get(
+    "SCALING_JOBS", "spans,records,shuffle,agg").split(","))
 
 
 def corpus(spark) -> str:
@@ -89,8 +94,9 @@ def worker(cores: int) -> None:
     # first heavy job in a session additionally pays heap pre-touch
     force(extract_turn_spans(turns.limit(5000)))
     force(sections_long(parse_turns_fused(turns.sample(0.05, seed=7))))
-    force(sections_long(parse_documents(
-        assemble_documents(turns.sample(0.05, seed=7), skew_threshold=64))))
+    if "agg" in JOBS:
+        force(sections_long(parse_documents(
+            assemble_documents(turns.sample(0.05, seed=7), skew_threshold=64))))
 
     def best_of(fn):
         best = None
@@ -106,24 +112,26 @@ def worker(cores: int) -> None:
     n_rec = parse_turns_fused(turns, conv_aligned=True).count()
     assert n_rec == n_docs, f"layout not conv-aligned: {n_rec} != {n_docs}"
 
-    spans_sec = best_of(lambda: force(extract_turn_spans(turns)))
-    records_sec = best_of(lambda: force(sections_long(
-        parse_turns_fused(turns, conv_aligned=True))))
-    shuffle_sec = best_of(lambda: force(sections_long(
-        parse_turns_fused(turns))))
-    agg_sec = best_of(lambda: force(sections_long(
-        parse_documents(assemble_documents(turns, skew_threshold=64)))))
-    print(json.dumps({
-        "cores": cores, "n_turns": n_turns, "n_docs": n_docs,
-        "spans_sec": round(spans_sec, 3),
-        "records_sec": round(records_sec, 3),
-        "shuffle_sec": round(shuffle_sec, 3),
-        "agg_sec": round(agg_sec, 3),
-        "spans_turns_per_sec": round(n_turns / spans_sec, 1),
-        "records_docs_per_sec": round(n_docs / records_sec, 1),
-        "shuffle_docs_per_sec": round(n_docs / shuffle_sec, 1),
-        "agg_docs_per_sec": round(n_docs / agg_sec, 1),
-    }))
+    out = {"cores": cores, "n_turns": n_turns, "n_docs": n_docs}
+    if "spans" in JOBS:
+        sec = best_of(lambda: force(extract_turn_spans(turns)))
+        out["spans_sec"] = round(sec, 3)
+        out["spans_turns_per_sec"] = round(n_turns / sec, 1)
+    if "records" in JOBS:
+        sec = best_of(lambda: force(sections_long(
+            parse_turns_fused(turns, conv_aligned=True))))
+        out["records_sec"] = round(sec, 3)
+        out["records_docs_per_sec"] = round(n_docs / sec, 1)
+    if "shuffle" in JOBS:
+        sec = best_of(lambda: force(sections_long(parse_turns_fused(turns))))
+        out["shuffle_sec"] = round(sec, 3)
+        out["shuffle_docs_per_sec"] = round(n_docs / sec, 1)
+    if "agg" in JOBS:
+        sec = best_of(lambda: force(sections_long(
+            parse_documents(assemble_documents(turns, skew_threshold=64)))))
+        out["agg_sec"] = round(sec, 3)
+        out["agg_docs_per_sec"] = round(n_docs / sec, 1)
+    print(json.dumps(out))
     spark.stop()
 
 
@@ -152,45 +160,38 @@ def orchestrate() -> None:
     def eff(metric):
         return round((results[hi][metric] / results[lo][metric]) / ratio, 3)
 
+    job_metric = {"spans": "spans_turns_per_sec",
+                  "records": "records_docs_per_sec",
+                  "shuffle": "shuffle_docs_per_sec",
+                  "agg": "agg_docs_per_sec"}
+    job_name = {"spans": "spans", "records": "records",
+                "shuffle": "records_shuffle", "agg": "records_salted_agg"}
+    measured = [j for j in ("spans", "records", "shuffle", "agg")
+                if j in JOBS]
     summary = {
         "n_turns": results[lo]["n_turns"],
         "cores": CORES,
         # throughput at every measured point (monotonicity evidence)
-        "curve": {m: {c: results[c][m] for c in CORES}
-                  for m in ("spans_turns_per_sec", "records_docs_per_sec",
-                            "shuffle_docs_per_sec", "agg_docs_per_sec")},
-        "spans": {
-            "small_turns_per_sec": results[lo]["spans_turns_per_sec"],
-            "big_turns_per_sec": results[hi]["spans_turns_per_sec"],
-            "scaling_efficiency": eff("spans_turns_per_sec"),
-        },
-        "records": {
-            "small_docs_per_sec": results[lo]["records_docs_per_sec"],
-            "big_docs_per_sec": results[hi]["records_docs_per_sec"],
-            "scaling_efficiency": eff("records_docs_per_sec"),
-        },
-        "records_shuffle": {
-            "small_docs_per_sec": results[lo]["shuffle_docs_per_sec"],
-            "big_docs_per_sec": results[hi]["shuffle_docs_per_sec"],
-            "scaling_efficiency": eff("shuffle_docs_per_sec"),
-        },
-        "records_salted_agg": {
-            "small_docs_per_sec": results[lo]["agg_docs_per_sec"],
-            "big_docs_per_sec": results[hi]["agg_docs_per_sec"],
-            "scaling_efficiency": eff("agg_docs_per_sec"),
-        },
-        # per-job pass flags — a blended flag would hide one failing job
-        "pass_ge_0.8": {
-            "spans": eff("spans_turns_per_sec") >= 0.8,
-            "records": eff("records_docs_per_sec") >= 0.8,
-            "records_shuffle": eff("shuffle_docs_per_sec") >= 0.8,
-            "records_salted_agg": eff("agg_docs_per_sec") >= 0.8,
-        },
+        "curve": {job_metric[j]: {c: results[c][job_metric[j]]
+                                  for c in CORES} for j in measured},
+        "pass_ge_0.8": {},
     }
+    for j in measured:
+        m = job_metric[j]
+        unit = "turns_per_sec" if j == "spans" else "docs_per_sec"
+        summary[job_name[j]] = {
+            f"small_{unit}": results[lo][m],
+            f"big_{unit}": results[hi][m],
+            "scaling_efficiency": eff(m),
+        }
+        summary["pass_ge_0.8"][job_name[j]] = eff(m) >= 0.8
     print(json.dumps(summary))
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
-        json.dump({"runs": results, "summary": summary}, f, indent=1)
+    if len(measured) == 4:
+        # only a FULL measurement overwrites the artifact of record;
+        # subset runs (spread probes) just print
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+            json.dump({"runs": results, "summary": summary}, f, indent=1)
 
 
 if __name__ == "__main__":
