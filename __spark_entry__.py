@@ -540,6 +540,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["x19_pixel_filters"] = x19_pixel_filters
 
+    def x26_dup_clusters(spark, sf):
+        # near-dup clustering: LSH candidate pairs → connected
+        # components (min-label propagation) → per-doc cluster id +
+        # keep-representative flag
+        return DD.dup_clusters(_t(spark, sf, "documents"),
+                               "doc_id", "text", n=3,
+                               num_hashes=12, bands=4)
+    q["x26_dup_clusters"] = x26_dup_clusters
+
+    def x27_gopher_quality(spark, sf):
+        from paperslicer_spark.operators.curation import gopher_quality
+        return gopher_quality(_t(spark, sf, "documents"),
+                              "doc_id", "text")
+    q["x27_gopher_quality"] = x27_gopher_quality
+
+    def x28_stratified_sample(spark, sf):
+        from paperslicer_spark.operators.curation import stratified_sample
+        docs = _t(spark, sf, "documents")
+        return stratified_sample(
+            docs, "doc_id", "lang",
+            rates={"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25},
+            default_rate=0.1,
+        ).select("doc_id", "lang", "bucket")
+    q["x28_stratified_sample"] = x28_stratified_sample
+
     return q
 
 
@@ -1271,5 +1296,69 @@ SELECT conv_id, round(metadata_score, 4) AS metadata_score,
   round(metadata_score + abstract_score + sections_score + figures_score
         + tables_score, 4) AS overall_score
 FROM sc
+"""
+
+    # x26: LSH pairs (same CTEs as x09) → transitive closure via a
+    # recursive CTE → component label = minimum reachable doc id
+    o["x26_dup_clusters"] = f"""
+WITH RECURSIVE {_GRAMS_CTE},
+ sig AS (SELECT doc, {", ".join(_mh_expr(j) for j in range(12))}
+         FROM sh GROUP BY doc),
+ banded AS ({bands_union}),
+ pairs AS (
+   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+   FROM banded a
+   JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc),
+ edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+ reach AS (
+   SELECT s AS node, d AS other FROM edges
+   UNION
+   SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.other)
+SELECT node AS doc, least(node, min(other)) AS cluster,
+  least(node, min(other)) = node AS is_rep
+FROM reach GROUP BY node
+"""
+
+    # x27: Gopher-style quality rules (shape stats JVM-side in Spark;
+    # here the identical arithmetic over unnested tokens/bigrams)
+    o["x27_gopher_quality"] = """
+WITH toks AS (
+   SELECT doc_id AS doc, string_split_regex(trim(lower(text)), '\\s+') AS t,
+     length(regexp_replace(text, '\\s+', '', 'g')) AS nchars
+   FROM documents WHERE trim(text) <> ''),
+ base AS (
+   SELECT doc, CAST(len(t) AS BIGINT) AS word_count,
+     round(CAST(nchars AS DOUBLE) / len(t), 6) AS mean_word_len,
+     round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS frac_unique
+   FROM toks),
+ bi AS (SELECT doc, t[i] || ' ' || t[i+1] AS bg
+        FROM toks, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+ cnt AS (SELECT doc, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+ top AS (SELECT doc, max(c) AS top_c, sum(c) AS n_bg FROM cnt GROUP BY 1),
+ j AS (
+   SELECT base.doc, word_count, mean_word_len, frac_unique,
+     coalesce(round(CAST(top_c AS DOUBLE) / n_bg, 6), 0.0) AS frac_top_bigram
+   FROM base LEFT JOIN top ON base.doc = top.doc)
+SELECT doc, word_count, mean_word_len, frac_unique, frac_top_bigram,
+  (word_count BETWEEN 40 AND 100000
+   AND mean_word_len BETWEEN 3.0 AND 10.0
+   AND frac_unique >= 0.4
+   AND frac_top_bigram <= 0.06) AS keep
+FROM j
+"""
+
+    # x28: seeded hash-stratified sampling — identical md5 bucket
+    # arithmetic as the Spark side (portable 60-bit hex-prefix hash)
+    o["x28_stratified_sample"] = """
+WITH b AS (
+   SELECT doc_id, lang,
+     CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)
+          AS BIGINT) % 10000 AS bucket
+   FROM documents)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < CASE lang
+  WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+  WHEN 'fr' THEN 2500 WHEN 'es' THEN 2500 ELSE 1000 END
 """
     return o

@@ -1,0 +1,128 @@
+"""Corpus-curation operators for training-data pipelines: rule-based
+quality filtering (Gopher-style repetition/shape rules) and
+deterministic hash-stratified sampling.
+
+Both are pure JVM DataFrame plans (no Python UDFs) with exact ANSI-SQL
+twins in ``__spark_entry__.oracle_sql`` (x27/x28), so the driver can
+value-hash-check them against DuckDB.
+
+Scale notes (100 TB):
+- ``gopher_quality``'s only shuffles are the (doc, bigram) count and
+  the per-doc rollup — both get map-side partial aggregation; the
+  per-doc shape stats (word count, mean word length, unique fraction)
+  are computed on the base scan with higher-order array functions,
+  no explode;
+- ``stratified_sample`` is a stateless map-side filter (hash + compare
+  against a broadcast-free CASE) — zero shuffles, trivially resumable,
+  and the same rows are selected on every run and every cluster size
+  (seeded md5, not ``rand()``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from paperslicer_spark.functions.text_stats import WS, md5_bigint, tokens
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str,
+                   min_words: int = 40, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   min_frac_unique: float = 0.4,
+                   max_frac_top_bigram: float = 0.06) -> DataFrame:
+    """Gopher-style document quality stats + keep flag.
+
+    Per document (blank-text rows are excluded — they fail the word
+    floor by definition):
+    - ``word_count``: whitespace tokens;
+    - ``mean_word_len``: non-whitespace chars / word_count;
+    - ``frac_unique``: distinct lowercased tokens / tokens (low =
+      degenerate repetition);
+    - ``frac_top_bigram``: occurrences of the most frequent word
+      2-gram / total 2-grams (high = boilerplate loops); 0.0 for
+      single-word docs;
+    - ``keep``: all rule thresholds pass (defaults follow the Gopher
+      repetition-rule shape, calibrated so the synthetic corpus splits
+      both ways).
+
+    Fractions are rounded to 6dp BEFORE thresholding so the SQL oracle
+    applies the identical comparison.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("doc"),
+            F.size(toks).cast("bigint").alias("word_count"),
+            F.round(
+                F.length(F.regexp_replace(F.col(text_col), WS, ""))
+                / F.size(toks), 6,
+            ).alias("mean_word_len"),
+            F.round(
+                F.size(F.array_distinct(toks)) / F.size(toks), 6,
+            ).alias("frac_unique"),
+        )
+    )
+    bigram_arr = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+        )
+    )
+    bi = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("doc"),
+                F.explode(bigram_arr).alias("bg"))
+    )
+    top = (
+        bi.groupBy("doc", "bg").agg(F.count("*").alias("c"))
+        .groupBy("doc")
+        .agg(F.max("c").alias("_top_c"), F.sum("c").alias("_n_bg"))
+    )
+    out = (
+        base.join(top, "doc", "left")
+        .withColumn(
+            "frac_top_bigram",
+            F.coalesce(F.round(F.col("_top_c") / F.col("_n_bg"), 6),
+                       F.lit(0.0)),
+        )
+        .drop("_top_c", "_n_bg")
+    )
+    keep = (
+        F.col("word_count").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len,
+                                         max_mean_word_len)
+        & (F.col("frac_unique") >= min_frac_unique)
+        & (F.col("frac_top_bigram") <= max_frac_top_bigram)
+    )
+    return out.withColumn("keep", keep)
+
+
+def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      denom: int = 10_000,
+                      salt: str = "sample:") -> DataFrame:
+    """Deterministic per-stratum sampling (the training-mix operator):
+    keep a row iff ``md5_bigint(salt || key) % denom`` falls under the
+    stratum's rate threshold. Seeded by content, not ``rand()``: the
+    sample is identical across runs, retries, and cluster sizes, and a
+    resumed job re-selects exactly the same rows.
+
+    Adds a ``bucket`` column (the hash bucket the decision used) so
+    downstream audits can verify the rate per stratum.
+    """
+    bucket = F.pmod(
+        md5_bigint(F.col(key_col).cast("string"), salt=salt),
+        F.lit(denom),
+    )
+    thresh = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        lim = F.lit(int(round(rate * denom)))
+        thresh = F.when(cond, lim) if thresh is None else thresh.when(cond, lim)
+    default_lim = F.lit(int(round(default_rate * denom)))
+    thresh = default_lim if thresh is None else thresh.otherwise(default_lim)
+    return df.withColumn("bucket", bucket).where(F.col("bucket") < thresh)

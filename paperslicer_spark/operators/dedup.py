@@ -193,6 +193,82 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components over an undirected near-dup pair list via
+    min-label propagation: every node starts labelled with itself; each
+    round a node adopts the minimum label among itself and its
+    neighbors; fixpoint = components labelled by their minimum member.
+
+    This is the clustering step of a near-dedup pipeline (LSH pairs →
+    components → keep one representative per component). Returns
+    ``(node, label)`` for every node that appears in ``pairs``.
+
+    Scale notes (100 TB):
+    - each round is ONE hash join (edges ⋈ labels, both partitioned by
+      the join key) + ONE min-aggregate — no driver-side graph;
+    - lineage is truncated per round with ``localCheckpoint`` so the
+      Catalyst plan stays O(1) across iterations;
+    - rounds needed = graph diameter. Near-dup components are shallow
+      (stars/cliques around a template), so a handful of rounds; for
+      adversarially long chains the alternating large-star/small-star
+      scheme (Kiveris et al., "Connected Components in MapReduce")
+      converges in O(log² n) rounds — same join shape, swap the
+      propagation rule if chains ever dominate;
+    - convergence test is a co-partitioned self-join + ``isEmpty``
+      (no label sums — a sum over 10^12 60-bit ids overflows bigint).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(pairs.select(F.col(dst).alias("s"),
+                                  F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["s"] == labels["node"]).select(
+            F.col("d").alias("node"), F.col("label"))
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+        )
+        converged = changed.isEmpty()
+        labels = new_labels
+        if converged:
+            break
+    return labels
+
+
+def dup_clusters(df: DataFrame, id_col: str, text_col: str,
+                 n: int = 3, num_hashes: int = 12,
+                 bands: int = 4) -> DataFrame:
+    """Near-duplicate clusters: MinHash-LSH candidate pairs →
+    connected components → ``(doc, cluster, is_rep)`` where ``cluster``
+    is the minimum doc id in the component and ``is_rep`` marks the
+    one row per cluster a dedup pass would keep."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n=n,
+                              num_hashes=num_hashes, bands=bands)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc"),
+        F.col("label").alias("cluster"),
+        (F.col("node") == F.col("label")).alias("is_rep"),
+    )
+
+
 SIMHASH_BITS = 64
 
 

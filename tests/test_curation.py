@@ -1,0 +1,118 @@
+"""Curation operators: connected-components dup clustering,
+Gopher-style quality rules, deterministic stratified sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _cc(spark, pairs, **kw):
+    from paperslicer_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    out = connected_components(df, **kw).collect()
+    return {r["node"]: r["label"] for r in out}
+
+
+def test_connected_components_basic(spark):
+    # two components: {1,2,3} (triangle) and {7,9}
+    labels = _cc(spark, [(1, 2), (2, 3), (1, 3), (7, 9)])
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_connected_components_chain(spark):
+    # path graph needs diameter rounds — exercises the iteration +
+    # convergence check, labels must reach the far end
+    edges = [(i, i + 1) for i in range(10, 20)]
+    labels = _cc(spark, edges)
+    assert set(labels.values()) == {10}
+    assert set(labels) == set(range(10, 21))
+
+
+def test_connected_components_bridge_merges(spark):
+    # two cliques joined by one bridge edge collapse to one component
+    labels = _cc(spark, [(1, 2), (3, 4), (2, 3)])
+    assert set(labels.values()) == {1}
+
+
+def test_dup_clusters_representatives(spark):
+    from paperslicer_spark.operators.dedup import dup_clusters
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "the quick brown fox jumps over the lazy dog again today"),
+        (3, "the quick brown fox jumps over the lazy dog again now"),
+        (4, "completely different words entirely unrelated content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dup_clusters(df, "doc_id", "text").collect()
+    by_doc = {r["doc"]: r for r in out}
+    # 1/2 exact dups share every band; 3 shares most shingles → same
+    # component; cluster id = min member; exactly one representative
+    assert by_doc[1]["cluster"] == 1 and by_doc[2]["cluster"] == 1
+    reps = [r["doc"] for r in out if r["is_rep"]]
+    clusters = {r["cluster"] for r in out}
+    assert sorted(reps) == sorted(clusters)
+    assert 4 not in by_doc  # no candidate pair → not in the graph
+
+
+def test_gopher_quality_stats(spark):
+    from paperslicer_spark.operators.curation import gopher_quality
+
+    rows = [
+        (1, "aa bb aa bb " * 30),          # 120 words, frac_unique 2/120
+        (2, " ".join(f"word{i}" for i in range(60))),  # all unique
+        (3, "one two"),                    # under the word floor
+        (4, "   "),                        # blank → excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r for r in gopher_quality(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["word_count"] == 120
+    assert out[1]["frac_unique"] == pytest.approx(2 / 120, abs=1e-6)
+    # "aa bb" occurs 60 of 119 bigrams
+    assert out[1]["frac_top_bigram"] == pytest.approx(60 / 119, abs=1e-6)
+    assert not out[1]["keep"]              # repetition rules fail
+    assert out[2]["keep"]                  # 60 unique short words pass
+    assert out[2]["frac_unique"] == 1.0
+    assert out[3]["word_count"] == 2 and not out[3]["keep"]
+
+
+def test_gopher_quality_single_word_doc(spark):
+    from paperslicer_spark.operators.curation import gopher_quality
+
+    df = spark.createDataFrame([(1, "word")], "doc_id long, text string")
+    row = gopher_quality(df, "doc_id", "text").collect()[0]
+    assert row["frac_top_bigram"] == 0.0   # no bigrams → defined as 0
+    assert not row["keep"]                 # fails the word floor
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    from paperslicer_spark.operators.curation import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kw = dict(key_col="doc_id", strata_col="lang",
+              rates={"en": 0.5, "de": 0.1}, default_rate=0.0)
+    a = stratified_sample(df, **kw)
+    counts = {r["lang"]: r["n"] for r in
+              a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # 1000 per stratum; md5 buckets ≈ uniform → within a loose band
+    assert 400 <= counts["en"] <= 600
+    assert 50 <= counts["de"] <= 170
+    # deterministic: the exact same rows on a second run
+    b = stratified_sample(df, **kw)
+    assert sorted(r["doc_id"] for r in a.collect()) == \
+        sorted(r["doc_id"] for r in b.collect())
+    # bucket respects the threshold
+    assert a.where((F.col("lang") == "en") & (F.col("bucket") >= 5000)) \
+        .isEmpty()
+
+
+def test_stratified_sample_default_rate(spark):
+    from paperslicer_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame([(i, "zz") for i in range(500)],
+                               "doc_id long, lang string")
+    out = stratified_sample(df, "doc_id", "lang", rates={"en": 0.5},
+                            default_rate=0.0)
+    assert out.isEmpty()
