@@ -565,6 +565,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "lang", "bucket")
     q["x28_stratified_sample"] = x28_stratified_sample
 
+    def x29_curated_keep(spark, sf):
+        # end-to-end curation: quality pass ∧ dup-cluster
+        # representative ∧ stratified sample (x27 ∧ x26 ∧ x28 fused)
+        from paperslicer_spark.operators.curation import curated_keep
+        return curated_keep(
+            _t(spark, sf, "documents"), "doc_id", "text", "lang",
+            rates={"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25},
+            default_rate=0.1,
+        ).select("doc_id", "lang", "bucket")
+    q["x29_curated_keep"] = x29_curated_keep
+
     return q
 
 
@@ -1360,5 +1371,59 @@ SELECT doc_id, lang, bucket FROM b
 WHERE bucket < CASE lang
   WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
   WHEN 'fr' THEN 2500 WHEN 'es' THEN 2500 ELSE 1000 END
+"""
+
+    # x29: the fused curation pipeline — x27's quality pass, x26's
+    # cluster-representative anti-join, x28's sample filter
+    o["x29_curated_keep"] = f"""
+WITH RECURSIVE {_GRAMS_CTE},
+ sig AS (SELECT doc, {", ".join(_mh_expr(j) for j in range(12))}
+         FROM sh GROUP BY doc),
+ banded AS ({bands_union}),
+ pairs AS (
+   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+   FROM banded a
+   JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc),
+ edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+ reach AS (
+   SELECT s AS node, d AS other FROM edges
+   UNION
+   SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.other),
+ nonrep AS (
+   SELECT node AS doc_id FROM (
+     SELECT node, least(node, min(other)) AS cluster
+     FROM reach GROUP BY node) WHERE cluster <> node),
+ qtoks AS (
+   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t,
+     length(regexp_replace(text, '\\s+', '', 'g')) AS nchars
+   FROM documents WHERE trim(text) <> ''),
+ qbase AS (
+   SELECT doc_id, len(t) AS wc,
+     round(CAST(nchars AS DOUBLE) / len(t), 6) AS mwl,
+     round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS fu
+   FROM qtoks),
+ qbi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+         FROM qtoks, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+ qcnt AS (SELECT doc_id, bg, count(*) AS c FROM qbi GROUP BY 1, 2),
+ qtop AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
+          FROM qcnt GROUP BY 1),
+ qual AS (
+   SELECT qbase.doc_id
+   FROM qbase LEFT JOIN qtop ON qbase.doc_id = qtop.doc_id
+   WHERE wc BETWEEN 40 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+     AND fu >= 0.4
+     AND coalesce(round(CAST(top_c AS DOUBLE) / n_bg, 6), 0.0) <= 0.06)
+SELECT d.doc_id, d.lang,
+  CAST('0x' || substr(md5('sample:' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+       AS BIGINT) % 10000 AS bucket
+FROM documents d
+JOIN qual ON qual.doc_id = d.doc_id
+LEFT JOIN nonrep ON nonrep.doc_id = d.doc_id
+WHERE nonrep.doc_id IS NULL
+  AND CAST('0x' || substr(md5('sample:' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+       AS BIGINT) % 10000
+    < CASE d.lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+      WHEN 'fr' THEN 2500 WHEN 'es' THEN 2500 ELSE 1000 END
 """
     return o

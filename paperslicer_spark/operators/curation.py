@@ -101,6 +101,33 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str,
     return out.withColumn("keep", keep)
 
 
+def curated_keep(df: DataFrame, id_col: str, text_col: str,
+                 strata_col: str, rates: dict[str, float],
+                 default_rate: float = 0.0) -> DataFrame:
+    """End-to-end curation keep-list: a document survives iff it
+    (1) passes the Gopher quality rules, (2) is the representative of
+    its near-dup cluster (docs in no cluster are their own reps), and
+    (3) falls inside its stratum's deterministic sample.
+
+    This is the composition a training-data pipeline actually runs;
+    each stage is the oracle-checked operator above (x26/x27/x28), so
+    the fused plan stays one quality pass + one broadcast-size cluster
+    join + a map-side sample filter.
+    """
+    from paperslicer_spark.operators.dedup import dup_clusters
+
+    quality = gopher_quality(df, id_col, text_col).where("keep") \
+        .select(F.col("doc").alias(id_col))
+    non_reps = dup_clusters(df, id_col, text_col) \
+        .where(~F.col("is_rep")).select(F.col("doc").alias(id_col))
+    kept = (
+        df.join(quality, id_col, "left_semi")
+        .join(non_reps, id_col, "left_anti")
+    )
+    return stratified_sample(kept, id_col, strata_col, rates,
+                             default_rate=default_rate)
+
+
 def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
                       rates: dict[str, float], default_rate: float = 0.0,
                       denom: int = 10_000,

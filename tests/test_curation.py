@@ -108,6 +108,32 @@ def test_stratified_sample_deterministic_and_rated(spark):
         .isEmpty()
 
 
+def test_curated_keep_composition(spark):
+    from paperslicer_spark.operators.curation import (
+        curated_keep, gopher_quality, stratified_sample)
+
+    good = " ".join(f"token{i}" for i in range(50))
+    rows = [
+        (1, good + " alpha", "en"),
+        (2, good + " alpha", "en"),                # exact dup of 1 → non-rep
+        (3, "aa bb " * 40, "en"),                  # fails repetition rules
+        (4, good + " something else entirely", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = curated_keep(df, "doc_id", "text", "lang",
+                        rates={"en": 1.0}).select("doc_id").collect()
+    kept_ids = sorted(r["doc_id"] for r in kept)
+    # 2 is dropped as a cluster non-representative, 3 by quality;
+    # rate 1.0 means sampling keeps everything that survives
+    assert 2 not in kept_ids and 3 not in kept_ids
+    assert 1 in kept_ids
+    # composition equals the stage-by-stage application
+    quality_ids = {r["doc"] for r in
+                   gopher_quality(df, "doc_id", "text")
+                   .where("keep").collect()}
+    assert set(kept_ids) <= quality_ids
+
+
 def test_stratified_sample_default_rate(spark):
     from paperslicer_spark.operators.curation import stratified_sample
 
