@@ -576,6 +576,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "lang", "bucket")
     q["x29_curated_keep"] = x29_curated_keep
 
+    def x30_frame_sample(spark, sf):
+        # video frame sampling: fake-container clips → ≤4 uniformly-
+        # spaced frames each (REAL PNG payloads out) → per-frame
+        # pixel stats; deterministic corpus, fixture-frozen oracle
+        from paperslicer_spark.operators.multimodal import (
+            frame_sample, frame_stats, synth_videos)
+        vids = synth_videos(spark, 24, seed=42)
+        return frame_stats(frame_sample(vids, n_samples=4))
+    q["x30_frame_sample"] = x30_frame_sample
+
+    def x31_audio_features(spark, sf):
+        # audio feature extraction over fake-PCM clips: duration, RMS,
+        # zero-crossing rate, peak (integer-arithmetic determinism)
+        from paperslicer_spark.operators.multimodal import (
+            audio_features, synth_audio)
+        return audio_features(synth_audio(spark, 32, seed=42))
+    q["x31_audio_features"] = x31_audio_features
+
     return q
 
 
@@ -1037,6 +1055,14 @@ FROM '{_FIX}/asset_features.parquet'
     o["x19_pixel_filters"] = f"""
 SELECT asset_id, kind, width, height, px_std, ink_fraction, kept
 FROM '{_FIX}/asset_stats.parquet'
+"""
+    o["x30_frame_sample"] = f"""
+SELECT asset_id, frame_idx, width, height, px_mean, px_std
+FROM '{_FIX}/frame_stats.parquet'
+"""
+    o["x31_audio_features"] = f"""
+SELECT asset_id, sample_rate, n_samples, duration_s, rms, zcr, peak
+FROM '{_FIX}/audio_stats.parquet'
 """
 
     o["x20_cosine_dup_pairs"] = """

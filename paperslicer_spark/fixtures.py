@@ -31,7 +31,8 @@ FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "fixtures")
 
 TABLES = ["rec_meta", "rec_sections", "rec_media", "rec_refs", "truth",
-          "rec_spans", "turns", "asset_features", "asset_stats"]
+          "rec_spans", "turns", "asset_features", "asset_stats",
+          "frame_stats", "audio_stats"]
 
 
 def flatten_records(rows) -> dict[str, pd.DataFrame]:
@@ -148,7 +149,9 @@ def build_all(spark) -> dict[str, pd.DataFrame]:
     # corpus): x11/x19 reproduction oracles
     qs = entrymod.queries()
     for name, key in (("x11_multimodal_features", "asset_features"),
-                      ("x19_pixel_filters", "asset_stats")):
+                      ("x19_pixel_filters", "asset_stats"),
+                      ("x30_frame_sample", "frame_stats"),
+                      ("x31_audio_features", "audio_stats")):
         pdf = qs[name](spark, "").toPandas()
         frames[key] = pdf.sort_values(list(pdf.columns)).reset_index(
             drop=True)

@@ -442,3 +442,275 @@ def resize_assets(assets: DataFrame, max_side: int = 32) -> DataFrame:
             yield pd.DataFrame(cols)
 
     return assets.mapInPandas(run, schema=ASSET_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video: fake frame container + uniform temporal frame sampling
+# ---------------------------------------------------------------------------
+# container: b"FAKEVID" + width:u16 + height:u16 + n_frames:u16 + fps:u8
+# + n_frames × (width*height) seeded gray frames. Deterministic stand-in
+# for an ffmpeg-decodable payload; the Spark plumbing (schema, batch
+# shape, one-row-in → n-rows-out fan-out) is real either way, and the
+# sampled frames come OUT as genuine PNG bytes (stdlib encoder above).
+
+_VMAGIC = b"FAKEVID"
+
+VIDEO_SCHEMA = (
+    "asset_id long, conv_id string, kind string, payload binary, "
+    "meta struct<width:int,height:int,n_frames:int,fps:int,n_bytes:int>"
+)
+
+FRAME_SCHEMA = (
+    "asset_id long, conv_id string, frame_idx int, payload binary, "
+    "meta struct<width:int,height:int,format:string,n_bytes:int>"
+)
+
+FRAME_STATS_SCHEMA = (
+    "asset_id long, frame_idx int, width int, height int, "
+    "px_mean double, px_std double"
+)
+
+
+def encode_fake_video(seed: int, width: int, height: int,
+                      n_frames: int, fps: int = 24) -> bytes:
+    import numpy as np
+
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    frames = rng.randint(0, 256, size=n_frames * width * height,
+                         dtype=np.int64)
+    return (_VMAGIC + struct.pack("<HHHB", width, height, n_frames, fps)
+            + frames.astype("uint8").tobytes())
+
+
+def decode_fake_video(payload: bytes, strict: bool = False):
+    """→ (width, height, n_frames, fps, frames[n,h,w]) or None."""
+    import numpy as np
+
+    if not payload or not payload.startswith(_VMAGIC):
+        if strict:
+            raise NotImplementedError(
+                "real video decoding requires ffmpeg — not available in "
+                "this container; payload is not fake-codec")
+        return None
+    w, h, nf, fps = struct.unpack_from("<HHHB", payload, len(_VMAGIC))
+    off = len(_VMAGIC) + 7
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * nf,
+                       offset=off)
+    return w, h, nf, fps, px.reshape(nf, h, w)
+
+
+def synth_videos(spark, n_assets: int, seed: int = 42,
+                 partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic video-asset table generation."""
+    import pandas as pd
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_assets, 1, parts)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import random
+
+        for pdf in batches:
+            cols = {k: [] for k in ["asset_id", "conv_id", "kind",
+                                    "payload", "meta"]}
+            for i in pdf["id"].tolist():
+                rng = random.Random((seed << 23) ^ i)
+                w = rng.choice([16, 32])
+                h = rng.choice([16, 24])
+                nf = rng.choice([6, 12, 25])
+                fps = rng.choice([24, 30])
+                payload = encode_fake_video(i, w, h, nf, fps)
+                cols["asset_id"].append(i)
+                cols["conv_id"].append(f"conv{i % max(n_assets // 4, 1):08d}")
+                cols["kind"].append("video")
+                cols["payload"].append(payload)
+                cols["meta"].append({"width": w, "height": h,
+                                     "n_frames": nf, "fps": fps,
+                                     "n_bytes": len(payload)})
+            yield pd.DataFrame(cols)
+
+    return base.mapInPandas(gen, schema=VIDEO_SCHEMA)
+
+
+def frame_sample(videos: DataFrame, n_samples: int = 4) -> DataFrame:
+    """Uniform temporal frame sampling: ``n_samples`` frame indices
+    linspaced over [0, n_frames-1] (deduped — a 2-frame clip sampled
+    at 4 yields 2 rows), each emitted as a REAL PNG payload row.
+
+    One video row fans out to ≤ n_samples frame rows inside the same
+    Arrow batch — no shuffle, no driver; undecodable payloads are
+    skipped (the error-row model belongs to the extraction surface).
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            cols = {k: [] for k in ["asset_id", "conv_id", "frame_idx",
+                                    "payload", "meta"]}
+            for aid, cid, payload in zip(pdf["asset_id"], pdf["conv_id"],
+                                         pdf["payload"]):
+                dec = decode_fake_video(bytes(payload))
+                if dec is None:
+                    continue
+                w, h, nf, _fps, frames = dec
+                idxs = np.unique(
+                    np.linspace(0, nf - 1, min(n_samples, nf)).astype(int))
+                for fi in idxs:
+                    png = encode_png(frames[int(fi)])
+                    cols["asset_id"].append(int(aid))
+                    cols["conv_id"].append(cid)
+                    cols["frame_idx"].append(int(fi))
+                    cols["payload"].append(png)
+                    cols["meta"].append({"width": w, "height": h,
+                                         "format": "png",
+                                         "n_bytes": len(png)})
+            yield pd.DataFrame(cols)
+
+    return videos.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def frame_stats(frames: DataFrame) -> DataFrame:
+    """Per-sampled-frame pixel stats over the (real PNG) payloads.
+    Mean/std from integer pixel sums — bit-deterministic across runs."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            cols = {k: [] for k in ["asset_id", "frame_idx", "width",
+                                    "height", "px_mean", "px_std"]}
+            for aid, fi, payload in zip(pdf["asset_id"], pdf["frame_idx"],
+                                        pdf["payload"]):
+                dec = decode_image(bytes(payload))
+                if dec is None:
+                    continue
+                w, h, _fmt, px = dec
+                n = px.size
+                s1 = int(np.sum(px, dtype=np.int64))
+                s2 = int(np.sum(px.astype(np.int64) ** 2))
+                mean = s1 / n
+                var = max(s2 / n - mean * mean, 0.0)
+                cols["asset_id"].append(int(aid))
+                cols["frame_idx"].append(int(fi))
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["px_mean"].append(round(mean, 6))
+                cols["px_std"].append(round(var ** 0.5, 4))
+            yield pd.DataFrame(cols)
+
+    return frames.mapInPandas(run, schema=FRAME_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio: fake PCM container + feature extraction
+# ---------------------------------------------------------------------------
+# container: b"FAKEPCM" + sample_rate:u32 + n_samples:u32 + int16 LE
+# samples (seeded sine + noise). Features use integer/sign arithmetic
+# wherever the value feeds a fixture oracle, for bit determinism.
+
+_AMAGIC = b"FAKEPCM"
+
+AUDIO_SCHEMA = (
+    "asset_id long, conv_id string, kind string, payload binary, "
+    "meta struct<sample_rate:int,n_samples:int,n_bytes:int>"
+)
+
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id long, sample_rate int, n_samples int, duration_s double, "
+    "rms double, zcr double, peak int"
+)
+
+
+def encode_fake_audio(seed: int, sample_rate: int, n_samples: int) -> bytes:
+    import numpy as np
+
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    t = np.arange(n_samples, dtype=np.float64)
+    freq = 100.0 + (seed % 800)
+    wave = (0.5 * np.sin(2.0 * np.pi * freq * t / sample_rate)
+            + 0.1 * rng.standard_normal(n_samples))
+    samples = np.clip(wave, -1.0, 1.0) * 32767.0
+    return (_AMAGIC + struct.pack("<II", sample_rate, n_samples)
+            + samples.astype("<i2").tobytes())
+
+
+def decode_fake_audio(payload: bytes, strict: bool = False):
+    """→ (sample_rate, int16 samples) or None."""
+    import numpy as np
+
+    if not payload or not payload.startswith(_AMAGIC):
+        if strict:
+            raise NotImplementedError(
+                "real audio decoding requires soundfile/ffmpeg — not "
+                "available in this container; payload is not fake-codec")
+        return None
+    sr, n = struct.unpack_from("<II", payload, len(_AMAGIC))
+    samples = np.frombuffer(payload, dtype="<i2", count=n,
+                            offset=len(_AMAGIC) + 8)
+    return sr, samples
+
+
+def synth_audio(spark, n_assets: int, seed: int = 42,
+                partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic audio-asset table generation."""
+    import pandas as pd
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_assets, 1, parts)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import random
+
+        for pdf in batches:
+            cols = {k: [] for k in ["asset_id", "conv_id", "kind",
+                                    "payload", "meta"]}
+            for i in pdf["id"].tolist():
+                rng = random.Random((seed << 24) ^ i)
+                sr = rng.choice([8000, 16000])
+                n = rng.choice([2000, 4000, 6400])
+                payload = encode_fake_audio(i, sr, n)
+                cols["asset_id"].append(i)
+                cols["conv_id"].append(f"conv{i % max(n_assets // 4, 1):08d}")
+                cols["kind"].append("audio")
+                cols["payload"].append(payload)
+                cols["meta"].append({"sample_rate": sr, "n_samples": n,
+                                     "n_bytes": len(payload)})
+            yield pd.DataFrame(cols)
+
+    return base.mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Per-clip features: duration, RMS (int64 sum of squares → one
+    float division — bit-deterministic), zero-crossing rate (sign
+    changes / (n-1)), peak amplitude."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            cols = {k: [] for k in ["asset_id", "sample_rate", "n_samples",
+                                    "duration_s", "rms", "zcr", "peak"]}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                dec = decode_fake_audio(bytes(payload))
+                if dec is None:
+                    continue
+                sr, s = dec
+                n = s.size
+                s64 = s.astype(np.int64)
+                rms = (int(np.sum(s64 * s64)) / n) ** 0.5 / 32768.0
+                zc = int(np.count_nonzero(np.diff(np.signbit(s64))))
+                cols["asset_id"].append(int(aid))
+                cols["sample_rate"].append(int(sr))
+                cols["n_samples"].append(n)
+                cols["duration_s"].append(round(n / sr, 6))
+                cols["rms"].append(round(rms, 6))
+                cols["zcr"].append(round(zc / (n - 1), 6) if n > 1 else 0.0)
+                cols["peak"].append(int(np.max(np.abs(s64))))
+            yield pd.DataFrame(cols)
+
+    return assets.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
