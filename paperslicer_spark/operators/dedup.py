@@ -226,9 +226,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # seed with the first-hop minimum (min over self + direct
+    # neighbors) — the same aggregate a propagation round would do,
+    # fused into initialization so one full round is saved
     labels = (
-        edges.select(F.col("s").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("s").alias("node"))
+        .agg(F.least(F.min("d"), F.first("s")).alias("label"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
