@@ -44,3 +44,20 @@ def streaming_turn_rates(turns: DataFrame, watermark: str = "10 minutes",
                 F.col("w.end").alias("window_end"), "role",
                 "n_turns", "n_chars")
     )
+
+
+def streaming_dedup(turns: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup for at-least-once turn sources: drop
+    re-delivered rows by ``(conv_id, turn_idx, md5(text))`` within the
+    watermark. ``dropDuplicatesWithinWatermark`` bounds the dedup
+    state by event time (a plain streaming ``dropDuplicates`` grows
+    state forever at 10^12-turn scale); a replay arriving later than
+    the watermark re-emits — pair with ``dedup_after`` downstream, the
+    same remedy as the tombstone-expiry straggler."""
+    keyed = turns.withColumn(
+        "_fp", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    return (
+        keyed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "_fp"])
+        .drop("_fp")
+    )

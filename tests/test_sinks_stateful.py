@@ -250,3 +250,53 @@ def test_stateful_assembly_stream(spark, corpus_path, tmp_path):
         assert r["title"] == b["title"]
         assert r["n_references"] == len(b["references"])
         assert r["n_sections"] == len(b["sections"]) + len(b["other_sections"])
+
+
+def test_streaming_dedup_redelivery(spark, tmp_path):
+    """At-least-once redelivery: the same turn rows written into two
+    micro-batch files collapse to one copy; genuinely distinct rows
+    (same key, different text) survive."""
+    import datetime as dt
+
+    from paperslicer_spark.streaming.stream_extract import (
+        stream_turns, streaming_dedup)
+
+    ts = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "user", "hello", "", ts),
+        ("c1", 1, "assistant", "world", "", ts),
+        ("c2", 0, "user", "other", "", ts),
+    ]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite").parquet(str(src / "f1"))
+    # second delivery: two exact replays + one conflicting rewrite
+    rows2 = [
+        ("c1", 0, "user", "hello", "", ts),              # exact replay
+        ("c2", 0, "user", "other", "", ts),              # exact replay
+        ("c2", 0, "user", "other EDITED", "", ts),       # distinct text
+    ]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "overwrite").parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (streaming_dedup(stream).writeStream.format("memory")
+         .queryName("dedup_mem").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_dd")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r["conv_id"], r["turn_idx"], r["text"])
+                 for r in spark.sql("select * from dedup_mem").collect())
+    assert got == [
+        ("c1", 0, "hello"),
+        ("c1", 1, "world"),
+        ("c2", 0, "other"),
+        ("c2", 0, "other EDITED"),
+    ]
