@@ -142,3 +142,21 @@ def test_stratified_sample_default_rate(spark):
     out = stratified_sample(df, "doc_id", "lang", rates={"en": 0.5},
                             default_rate=0.0)
     assert out.isEmpty()
+
+
+def test_curation_ops_null_text(spark):
+    # NULL text must behave like the oracle's `WHERE trim(text) <> ''`
+    # exclusion everywhere (the x08 round-2 lesson): no rows, no errors
+    from paperslicer_spark.operators.curation import gopher_quality
+    from paperslicer_spark.operators.dedup import dup_clusters
+
+    rows = [
+        (1, None),
+        (2, " ".join(f"word{i}" for i in range(50))),
+        (3, " ".join(f"word{i}" for i in range(50))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    q = {r["doc"] for r in gopher_quality(df, "doc_id", "text").collect()}
+    assert q == {2, 3}
+    c = {r["doc"] for r in dup_clusters(df, "doc_id", "text").collect()}
+    assert c == {2, 3}  # the null doc joins no pair
