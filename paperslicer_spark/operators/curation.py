@@ -48,9 +48,46 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str,
 
     Fractions are rounded to 6dp BEFORE thresholding so the SQL oracle
     applies the identical comparison.
+
+    Plan shape: the whole operator is a ZERO-SHUFFLE map over the base
+    scan. The top-bigram count — the one stat that naively wants a
+    (doc, bigram) groupBy (measured 0.43 scaling efficiency in a
+    single JVM at 200k docs: an 11M-row shuffle for per-row state) —
+    is instead the maximum run length of the SORTED per-doc bigram
+    array, computed with one ``F.aggregate`` lambda pass. Identical
+    value, no exchange, scales like a parquet scan.
     """
     toks = tokens(F.lower(F.col(text_col)))
-    base = (
+    bigram_arr = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+        )
+    )
+
+    def _run_step(acc, x):
+        is_new = acc["prev"].isNull() | (acc["prev"] != x)
+        run = F.when(is_new, F.lit(1).cast("bigint")) \
+            .otherwise(acc["run"] + F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_c = F.aggregate(
+        F.array_sort(bigram_arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        _run_step,
+        lambda acc: acc["best"],
+    )
+    n_bg = F.size(bigram_arr).cast("bigint")
+    out = (
         df.where(F.trim(F.col(text_col)) != "")
         .select(
             F.col(id_col).alias("doc"),
@@ -62,34 +99,9 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str,
             F.round(
                 F.size(F.array_distinct(toks)) / F.size(toks), 6,
             ).alias("frac_unique"),
+            F.when(n_bg > 0, F.round(top_c / n_bg, 6))
+            .otherwise(F.lit(0.0)).alias("frac_top_bigram"),
         )
-    )
-    bigram_arr = F.when(
-        F.size(toks) < 2, F.array().cast("array<string>"),
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
-        )
-    )
-    bi = (
-        df.where(F.trim(F.col(text_col)) != "")
-        .select(F.col(id_col).alias("doc"),
-                F.explode(bigram_arr).alias("bg"))
-    )
-    top = (
-        bi.groupBy("doc", "bg").agg(F.count("*").alias("c"))
-        .groupBy("doc")
-        .agg(F.max("c").alias("_top_c"), F.sum("c").alias("_n_bg"))
-    )
-    out = (
-        base.join(top, "doc", "left")
-        .withColumn(
-            "frac_top_bigram",
-            F.coalesce(F.round(F.col("_top_c") / F.col("_n_bg"), 6),
-                       F.lit(0.0)),
-        )
-        .drop("_top_c", "_n_bg")
     )
     keep = (
         F.col("word_count").between(min_words, max_words)

@@ -1,0 +1,119 @@
+"""spark-submit entry point for the corpus-curation job.
+
+The training-data companion to ``run_extract.py``: quality rules →
+near-dup clustering → stratified sampling over a documents table,
+with STAGE-level resume. Bucket-level resume (run_extract's model) is
+wrong here — clustering is a global operation whose candidate pairs
+cross any doc_id bucketing — so each stage is one idempotent Spark
+job whose output directory doubles as its checkpoint: a crash re-runs
+only the stages whose ``_SUCCESS`` marker is missing.
+
+Cluster usage::
+
+    python scripts/package.py
+    spark-submit --py-files dist/paperslicer_spark.zip \\
+        scripts/run_curate.py \\
+        --input  s3://bucket/documents \\
+        --output s3://bucket/curated \\
+        --rates en=0.5,de=0.25 --default-rate 0.1
+
+Local smoke::
+
+    python scripts/run_curate.py \\
+        --input /root/testdata/sf0.001/documents.parquet --output /tmp/cur
+
+Outputs under ``--output``:
+  quality/   per-doc Gopher stats + keep flag
+  clusters/  (doc, cluster, is_rep) for docs in any near-dup component
+  keep/      final curated keep-list (doc_id, lang, bucket)
+  metrics/   one-row funnel summary (counts + drop rates per stage)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--strata-col", default="lang")
+    ap.add_argument("--rates", default="en=0.5,de=0.25,fr=0.25,es=0.25",
+                    help="per-stratum sample rates, k=v comma list")
+    ap.add_argument("--default-rate", type=float, default=0.1)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from paperslicer_spark.operators.curation import (
+        gopher_quality, stratified_sample)
+    from paperslicer_spark.operators.dedup import dup_clusters
+    from paperslicer_spark.session import get_spark
+
+    rates = {k: float(v) for k, v in
+             (kv.split("=") for kv in args.rates.split(",") if kv)}
+    spark = get_spark(app_name="paperslicer-curate")
+    docs = spark.read.parquet(args.input)
+    out = args.output
+    q_dir, c_dir = os.path.join(out, "quality"), os.path.join(out, "clusters")
+    k_dir, m_dir = os.path.join(out, "keep"), os.path.join(out, "metrics")
+
+    ran, skipped = [], []
+    for name, path, build in (
+        ("quality", q_dir,
+         lambda: gopher_quality(docs, args.id_col, args.text_col)),
+        ("clusters", c_dir,
+         lambda: dup_clusters(docs, args.id_col, args.text_col)),
+    ):
+        if _done(path):
+            skipped.append(name)
+            continue
+        build().write.mode("overwrite").parquet(path)
+        ran.append(name)
+
+    if _done(k_dir):
+        skipped.append("keep")
+    else:
+        quality = spark.read.parquet(q_dir).where("keep") \
+            .select(F.col("doc").alias(args.id_col))
+        non_reps = spark.read.parquet(c_dir).where(~F.col("is_rep")) \
+            .select(F.col("doc").alias(args.id_col))
+        survivors = (docs.join(quality, args.id_col, "left_semi")
+                     .join(non_reps, args.id_col, "left_anti"))
+        stratified_sample(survivors, args.id_col, args.strata_col,
+                          rates, default_rate=args.default_rate) \
+            .select(args.id_col, args.strata_col, "bucket") \
+            .write.mode("overwrite").parquet(k_dir)
+        ran.append("keep")
+
+    # funnel metrics are cheap — recompute every run (always fresh)
+    n_docs = docs.count()
+    n_quality = spark.read.parquet(q_dir).where("keep").count()
+    n_nonrep = spark.read.parquet(c_dir).where("NOT is_rep").count()
+    n_keep = spark.read.parquet(k_dir).count()
+    spark.createDataFrame(
+        [(n_docs, n_quality, n_nonrep, n_keep,
+          round(1.0 - n_quality / n_docs, 6) if n_docs else 0.0,
+          round(n_keep / n_docs, 6) if n_docs else 0.0)],
+        "n_docs long, n_quality_pass long, n_cluster_dropped long, "
+        "n_kept long, quality_drop_rate double, keep_rate double",
+    ).coalesce(1).write.mode("overwrite").parquet(m_dir)
+
+    print(f"curation: {{'ran': {ran}, 'skipped': {skipped}, "
+          f"'n_docs': {n_docs}, 'n_kept': {n_keep}}}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

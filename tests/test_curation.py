@@ -160,3 +160,36 @@ def test_curation_ops_null_text(spark):
     assert q == {2, 3}
     c = {r["doc"] for r in dup_clusters(df, "doc_id", "text").collect()}
     assert c == {2, 3}  # the null doc joins no pair
+
+
+def test_run_curate_cli_and_resume(tmp_path):
+    """Stage-level resume: first run executes all stages, second run
+    skips them; keep/ equals the curated_keep operator output."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "cur"
+    cmd = [sys.executable, "scripts/run_curate.py",
+           "--input", "/root/testdata/sf0.001/documents.parquet",
+           "--output", str(out)]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    line1 = [ln for ln in r1.stdout.splitlines()
+             if ln.startswith("curation:")][0]
+    assert "'ran': ['quality', 'clusters', 'keep']" in line1
+    for sub in ("quality", "clusters", "keep", "metrics"):
+        assert (out / sub / "_SUCCESS").exists()
+    r2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    line2 = [ln for ln in r2.stdout.splitlines()
+             if ln.startswith("curation:")][0]
+    assert "'ran': []" in line2
+    assert "'skipped': ['quality', 'clusters', 'keep']" in line2
+
+    import duckdb
+    met = duckdb.sql(
+        f"select * from '{out}/metrics/*.parquet'").df().iloc[0]
+    n_keep = duckdb.sql(
+        f"select count(*) n from '{out}/keep/*.parquet'").df()["n"][0]
+    assert met["n_docs"] == 500 and met["n_kept"] == n_keep > 0
+    assert 0.0 < met["keep_rate"] < 1.0
