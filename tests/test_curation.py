@@ -193,3 +193,27 @@ def test_run_curate_cli_and_resume(tmp_path):
         f"select count(*) n from '{out}/keep/*.parquet'").df()["n"][0]
     assert met["n_docs"] == 500 and met["n_kept"] == n_keep > 0
     assert 0.0 < met["keep_rate"] < 1.0
+
+
+def test_gopher_quality_streams_stateless(spark, tmp_path):
+    """The zero-shuffle rewrite makes the quality pass stateless, so it
+    composes with readStream unchanged — streamed output equals batch."""
+    from paperslicer_spark.operators.curation import gopher_quality
+
+    rows = [(i, " ".join(f"word{j % (5 + i)}" for j in range(60)))
+            for i in range(20)]
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows, schema).coalesce(2).write.parquet(str(src))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (gopher_quality(stream, "doc_id", "text").writeStream
+         .format("memory").queryName("gq_mem").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_gq")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(map(tuple, spark.sql("select * from gq_mem").collect()))
+    want = sorted(map(tuple, gopher_quality(
+        spark.read.parquet(str(src)), "doc_id", "text").collect()))
+    assert got == want and len(got) == 20
