@@ -638,9 +638,17 @@ _GRAMS_CTE = (
 )
 
 
+# minhash twin of dedup.minhash_signatures: one 28-bit md5 base hash
+# + the SAME affine (a_j, b_j) family mod 2^31-1 (constants imported
+# from the operator so the two definitions cannot drift)
+_MH_PARAMS = DD.minhash_affine_params(12)
+
+
 def _mh_expr(j: int) -> str:
+    a, b = _MH_PARAMS[j]
     return (
-        f"min(CAST('0x' || substr(md5('{j}:' || shingle), 1, 15) AS BIGINT)) AS mh{j}"
+        f"min(({a} * CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT)"
+        f" + {b}) % {DD.MINHASH_PRIME}) AS mh{j}"
     )
 
 

@@ -126,14 +126,16 @@ def fingerprint(col: Column) -> Column:
     return F.md5(col)
 
 
-def md5_bigint(col: Column, salt: str = "") -> Column:
-    """Portable 60-bit integer hash: first 15 hex chars of md5.
+def md5_bigint(col: Column, salt: str = "", hex_chars: int = 15) -> Column:
+    """Portable integer hash: first ``hex_chars`` hex chars of md5
+    (15 → 60 bits; 7 → 28 bits for minhash's affine base hash).
 
-    Matches DuckDB ``CAST('0x' || substr(md5(salt||x),1,15) AS BIGINT)``
-    — used for minhash so Spark and the SQL oracle agree exactly.
+    Matches DuckDB ``CAST('0x' || substr(md5(salt||x),1,N) AS BIGINT)``
+    — used wherever Spark and the SQL oracle must agree exactly.
     """
     salted = F.concat(F.lit(salt), col) if salt else col
-    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint")
+    return F.conv(F.substring(F.md5(salted), 1, hex_chars), 16, 10) \
+        .cast("bigint")
 
 
 def token_count_bpe(col: Column) -> Column:

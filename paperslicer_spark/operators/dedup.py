@@ -141,17 +141,45 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     return out
 
 
+# MinHash universal-hash family: ONE md5 per shingle (28-bit hex
+# prefix) + per-seed affine transforms (a_j * h + b_j) mod p. The
+# previous scheme hashed every shingle num_hashes times — at corpus
+# scale md5 IS the minhash cost (measured: 12 md5/shingle dominated
+# lsh_pairs wall time), and a*h+b is ~free. p = 2^31-1 (Mersenne);
+# a*h + b < 2^59 so the arithmetic is exact int64 in BOTH engines
+# (DuckDB bigint overflow would ERROR, not wrap — the 28-bit base
+# hash exists precisely to keep the product inside int64).
+MINHASH_PRIME = (1 << 31) - 1
+MINHASH_BASE_HEX = 7  # 28-bit base hash
+
+
+def minhash_affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs shared by the Spark operator and
+    the SQL oracle generator (``__spark_entry__._mh_expr``)."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [(rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+            for _ in range(num_hashes)]
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3, num_hashes: int = 12) -> DataFrame:
-    """Per-doc MinHash signature: for seed j, min over shingles of a
-    portable md5-based 60-bit hash of ``j:shingle``."""
+    """Per-doc MinHash signature: base hash = md5 28-bit prefix of the
+    shingle (computed ONCE), seed j's value = min over shingles of
+    ``(a_j * h + b_j) % (2^31-1)``."""
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    ).select(
+        "doc",
+        md5_bigint(F.col("shingle"), hex_chars=MINHASH_BASE_HEX).alias("h"),
     )
+    params = minhash_affine_params(num_hashes)
     aggs = [
-        F.min(md5_bigint(F.col("shingle"), salt=f"{j}:")).alias(f"mh{j}")
-        for j in range(num_hashes)
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME))
+        .alias(f"mh{j}")
+        for j, (a, b) in enumerate(params)
     ]
     return sh.groupBy("doc").agg(*aggs)
 
