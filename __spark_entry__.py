@@ -834,7 +834,9 @@ FROM sh GROUP BY doc
 """
     o["q11_jaccard_pairs"] = f"""
 WITH {_GRAMS_CTE},
- shf AS (SELECT doc, shingle FROM sh
+ shh AS (SELECT doc, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                AS shingle FROM sh),
+ shf AS (SELECT doc, shingle FROM shh
          QUALIFY count(*) OVER (PARTITION BY shingle) <= 50),
  sz AS (SELECT doc, count(*) AS sz FROM shf GROUP BY doc),
  inter AS (

@@ -91,11 +91,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     (standard stop-shingle Jaccard), via a broadcast anti-join against
     the (tiny) hot-shingle list — the per-shingle join fan-out is then
     bounded by ``max_doc_freq``.
+
+    The self-join key is the 60-bit md5 of the shingle, not the string:
+    the shuffle moves fixed-width int64s instead of ~20-char UTF8 and
+    the join compares integers (the oracle SQL mirrors the same hash,
+    so the definition — Jaccard over hashed shingles — is identical in
+    both engines; at 60 bits a collision is ~1e-15 per doc).
     """
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-    )
+    ).select("doc", md5_bigint(F.col("shingle")).alias("shingle"))
     if max_doc_freq is not None:
         # doc-frequency cap as a window over shingle: ONE shuffle that
         # both filters the hot shingles AND leaves the relation hash-
