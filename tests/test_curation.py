@@ -217,3 +217,34 @@ def test_gopher_quality_streams_stateless(spark, tmp_path):
     want = sorted(map(tuple, gopher_quality(
         spark.read.parquet(str(src)), "doc_id", "text").collect()))
     assert got == want and len(got) == 20
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Property check: distributed min-label propagation equals a
+    driver-side union-find on seeded random graphs (including ones
+    with long chains and multiple merging components)."""
+    import random
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted({(a, b) for a, b in
+                        ((rng.randrange(n), rng.randrange(n))
+                         for _ in range(45)) if a != b})
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        roots = {}
+        for v in set(x for e in edges for x in e):
+            roots.setdefault(find(v), []).append(v)
+        want = {v: min(vs) for r, vs in roots.items() for v in vs}
+
+        got = _cc(spark, [(a, b) for a, b in edges])
+        assert got == want, f"seed {seed}"
