@@ -100,10 +100,12 @@ def main():
     from paperslicer_spark.operators.extract import extract_sections_fused
     timed("extract_sections_fused",
           lambda: force(extract_sections_fused(turns, conv_aligned=True)))
-    # analytics headliners over driver tables
+    # analytics headliners over driver tables (x27/x28 = the round-3
+    # curation surface: zero-shuffle quality rules + map-side sampling)
     for name in ["q01_pricing_summary", "q05_priority_concat",
                  "q11_jaccard_pairs", "q12_embedding_topk",
-                 "q16_sessionize", "q19_canonical_headings"]:
+                 "q16_sessionize", "q19_canonical_headings",
+                 "x27_gopher_quality", "x28_stratified_sample"]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)

@@ -57,6 +57,20 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str,
     array, computed with one ``F.aggregate`` lambda pass. Identical
     value, no exchange, scales like a parquet scan.
     """
+    # CPU-heavy per-row map (interpreted HOF ≈ 400 docs/s/core): an
+    # under-split input serializes it — one small parquet file = ONE
+    # task doing all the work, at any cluster size. Same fix as the
+    # extract path's data-proportional default: widen to the session
+    # parallelism when the source has fewer splits. The one-off
+    # (id, text) exchange is ~free relative to the per-row compute;
+    # well-split 100 TB inputs skip this branch entirely.
+    # (streaming inputs skip the check — .rdd is batch-only and micro-
+    # batch parallelism is the source's trigger setting anyway)
+    sc = df.sparkSession.sparkContext
+    if not df.isStreaming and \
+            df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+
     toks = tokens(F.lower(F.col(text_col)))
     bigram_arr = F.when(
         F.size(toks) < 2, F.array().cast("array<string>"),
