@@ -594,6 +594,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return audio_features(synth_audio(spark, 32, seed=42))
     q["x31_audio_features"] = x31_audio_features
 
+    def x32_simhash_pairs(spark, sf):
+        # SimHash Hamming-LSH near-dup pairs (guaranteed recall at
+        # Hamming <= 3 with 4 x 16-bit bands by pigeonhole)
+        return DD.simhash_lsh_pairs(_t(spark, sf, "documents"),
+                                    "doc_id", "text", max_hamming=3)
+    q["x32_simhash_pairs"] = x32_simhash_pairs
+
     return q
 
 
@@ -1073,6 +1080,45 @@ FROM '{_FIX}/frame_stats.parquet'
     o["x31_audio_features"] = f"""
 SELECT asset_id, sample_rate, n_samples, duration_s, rms, zcr, peak
 FROM '{_FIX}/audio_stats.parquet'
+"""
+
+    # x32: SimHash Hamming-LSH pairs — x08's simhash pipeline, then
+    # 16-bit chunk banding over the UNSIGNED hugeint image + exact
+    # bit_count(xor) verification (two's-complement, probed vs JVM)
+    sh_bands = "\nUNION ALL\n".join(
+        f"SELECT doc, simhash, {b} AS band, "
+        f"CAST((u // CAST('{1 << (16 * b)}' AS HUGEINT)) % 65536 AS BIGINT)"
+        " AS bkey FROM uns"
+        for b in range(4))
+    o["x32_simhash_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+ h AS (SELECT doc, CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS hv
+       FROM toks),
+ cnt AS (SELECT doc, count(*) AS n,
+   {bit_sums}
+  FROM h GROUP BY doc),
+ sig AS (
+  SELECT doc, CAST(({bit_assemble})
+    - CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS simhash
+  FROM cnt
+  UNION ALL
+  SELECT doc_id AS doc, 0 AS simhash FROM documents
+  WHERE trim(text) = '' OR text IS NULL),
+ uns AS (
+  SELECT doc, simhash,
+    CAST(simhash AS HUGEINT) + CASE WHEN simhash < 0
+      THEN CAST('18446744073709551616' AS HUGEINT)
+      ELSE CAST(0 AS HUGEINT) END AS u
+  FROM sig),
+ banded AS ({sh_bands})
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+  bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
     o["x20_cosine_dup_pairs"] = """

@@ -227,6 +227,49 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def simhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs from 64-bit SimHash signatures via
+    Hamming-LSH banding: the signature splits into four 16-bit chunks;
+    by pigeonhole, any pair within Hamming distance 3 shares at least
+    one UNCHANGED chunk, so candidates = docs colliding on (band,
+    chunk) — an equi-join, never all-pairs — verified exactly with
+    ``bit_count(xor)``. Guaranteed recall for ``max_hamming <= 3``;
+    above that, only pairs that happen to share a clean chunk surface
+    (document the recall loss or add bands).
+
+    DuckDB twin (x32): identical chunk arithmetic over the unsigned
+    HUGEINT image of the signature; bit_count/xor agree with the JVM
+    on two's-complement longs (probed: bit_count(-1)=64 both sides).
+    """
+    sig = simhash(df, id_col, text_col)
+    band_rows = [
+        sig.select(
+            "doc", "simhash", F.lit(b).alias("band"),
+            (F.shiftrightunsigned("simhash", 16 * b) % 65536)
+            .alias("bkey"),
+        )
+        for b in range(4)
+    ]
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    a, b2 = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b2, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def connected_components(pairs: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b",
                          max_iter: int = 50) -> DataFrame:

@@ -389,3 +389,29 @@ def test_per_document_metrics_and_csv(spark, corpus_path, tmp_path):
             got.extend(_csv.DictReader(fh))
     assert len(got) == 40
     assert {"file", "title", "noise_ratio", "figures_count"} <= set(got[0])
+
+
+def test_simhash_lsh_pairs_recall(spark):
+    """Pigeonhole guarantee: pairs within Hamming<=3 always share a
+    clean 16-bit chunk and must surface; distant docs must not."""
+    from paperslicer_spark.operators.dedup import simhash, simhash_lsh_pairs
+    from pyspark.sql import functions as F
+
+    base = " ".join(f"token{i}" for i in range(40))
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # tiny perturbation → small hamming
+        (3, base),                     # identical → hamming 0
+        (4, " ".join(f"other{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc"]: r["simhash"]
+            for r in simhash(df, "doc_id", "text").collect()}
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_lsh_pairs(df, "doc_id", "text",
+                                      max_hamming=3).collect()}
+    assert got.get((1, 3)) == 0
+    h12 = bin((sigs[1] ^ sigs[2]) & (2**64 - 1)).count("1")
+    if h12 <= 3:                       # guaranteed-recall regime
+        assert (1, 2) in got and got[(1, 2)] == h12
+    assert all(4 not in p for p in got)
