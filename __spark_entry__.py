@@ -601,6 +601,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     "doc_id", "text", max_hamming=3)
     q["x32_simhash_pairs"] = x32_simhash_pairs
 
+    def x33_chunk_documents(spark, sf):
+        # context-window chunking: 32-token windows, 8-token overlap
+        from paperslicer_spark.operators.curation import chunk_documents
+        return chunk_documents(_t(spark, sf, "documents"),
+                               "doc_id", "text",
+                               chunk_tokens=32, overlap=8)
+    q["x33_chunk_documents"] = x33_chunk_documents
+
+    def x34_html_strip(spark, sf):
+        # HTML boilerplate strip (north-rule surface): deterministic
+        # synthetic page wrap → regex-tier main-content extraction;
+        # the oracle runs the identical RE2-safe chain in DuckDB
+        from paperslicer_spark.functions.html import html_title, strip_html
+        docs = _t(spark, sf, "documents")
+        html = F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><style>body { color: #333 }</style></head>"
+                  "<body><nav><a href='/'>home</a> | "
+                  "<a href='/about'>about</a></nav>"
+                  "<!-- synthetic page --><p>"),
+            F.col("text"),
+            F.lit("</p><script>var t = 1 &amp;&amp; 2;</script>"
+                  "<footer>&copy; corp &nbsp;</footer></body></html>"))
+        return docs.select(
+            "doc_id",
+            html_title(html).alias("title"),
+            strip_html(html).alias("main_text"),
+        ).withColumn("n_chars", F.length("main_text").cast("bigint"))
+    q["x34_html_strip"] = x34_html_strip
+
     return q
 
 
@@ -1119,6 +1150,55 @@ SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
 FROM banded a
 JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+    # x33: context-window chunking (stride 24 = 32 - 8 overlap)
+    o["x33_chunk_documents"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE trim(text) <> '')
+SELECT doc_id, CAST(s / 24 AS BIGINT) AS chunk_idx,
+  CAST(least(32, len(t) - s) AS BIGINT) AS n_tokens,
+  array_to_string(t[s + 1 : s + 32], ' ') AS chunk_text
+FROM toks, UNNEST(range(0, len(t), 24)) AS u(s)
+"""
+
+    # x34: identical RE2 regexp chain over the identically synthesized
+    # page (DuckDB's regex engine is RE2 — the Spark chain uses only
+    # the shared subset: inline (?is), non-greedy, no backreferences)
+    strip_chain = (
+        "regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g')")
+    for tag in ("style", "head", "nav", "footer", "aside"):
+        strip_chain = (f"regexp_replace({strip_chain}, "
+                       f"'(?is)<{tag}[^>]*>.*?</{tag}>', ' ', 'g')")
+    strip_chain = (f"regexp_replace({strip_chain}, "
+                   "'(?s)<!--.*?-->', ' ', 'g')")
+    strip_chain = (f"regexp_replace({strip_chain}, "
+                   "'(?s)<[^>]+>', ' ', 'g')")
+    for ent, rep in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "''"), ("&nbsp;", " ")):
+        strip_chain = f"replace({strip_chain}, '{ent}', '{rep}')"
+    strip_chain = (f"trim(regexp_replace({strip_chain}, "
+                   "'\\s+', ' ', 'g'))")
+    o["x34_html_strip"] = f"""
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    || '</title><style>body {{ color: #333 }}</style></head>'
+    || '<body><nav><a href=''/''>home</a> | '
+    || '<a href=''/about''>about</a></nav>'
+    || '<!-- synthetic page --><p>' || text
+    || '</p><script>var t = 1 &amp;&amp; 2;</script>'
+    || '<footer>&copy; corp &nbsp;</footer></body></html>' AS html
+  FROM documents),
+ s AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_extract(html,
+      '(?is)<title[^>]*>(.*?)</title>', 1), '\\s+', ' ', 'g')) AS title,
+    {strip_chain} AS main_text
+  FROM h)
+SELECT doc_id, title, main_text, CAST(length(main_text) AS BIGINT) AS n_chars
+FROM s
 """
 
     o["x20_cosine_dup_pairs"] = """

@@ -179,3 +179,41 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
     default_lim = F.lit(int(round(default_rate * denom)))
     thresh = default_lim if thresh is None else thresh.otherwise(default_lim)
     return df.withColumn("bucket", bucket).where(F.col("bucket") < thresh)
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 32, overlap: int = 8) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    windows of ``chunk_tokens`` whitespace tokens with ``overlap``
+    tokens shared between consecutive chunks (stride = chunk_tokens -
+    overlap) — the standard prep for fixed-context training/embedding.
+
+    Pure JVM array work on the base scan: token array → window starts
+    (``F.sequence`` step=stride) → per-start slice+join → posexplode.
+    ZERO shuffles; one doc row fans out to ceil(n/stride) chunk rows
+    inside its own scan partition — trivially 100 TB-parallel. Blank
+    docs are excluded (oracle-identical semantics).
+    """
+    assert 0 < overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1, F.lit(stride)),
+        lambda s: F.struct(
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ")
+            .alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - s).cast("bigint")
+            .alias("n_tokens"),
+        ),
+    )
+    return (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )

@@ -248,3 +248,45 @@ def test_connected_components_random_vs_union_find(spark):
 
         got = _cc(spark, [(a, b) for a, b in edges])
         assert got == want, f"seed {seed}"
+
+
+def test_chunk_documents_windows(spark):
+    from paperslicer_spark.operators.curation import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, " ")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text",
+                          chunk_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 50 tokens, stride 24 → starts 0, 24, 48
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2]
+    assert [r["n_tokens"] for r in c1] == [32, 26, 2]
+    assert c1[0]["chunk_text"].split()[0] == "w0"
+    assert c1[1]["chunk_text"].split()[0] == "w24"   # 8-token overlap
+    assert c1[1]["chunk_text"].split()[:8] == \
+        c1[0]["chunk_text"].split()[24:]
+    assert c1[2]["chunk_text"] == "w48 w49"
+    # short doc → one sub-window chunk; blank doc excluded
+    assert [r["n_tokens"] for r in by_doc[2]] == [2]
+    assert 3 not in by_doc
+
+
+def test_strip_html_boilerplate(spark):
+    from paperslicer_spark.functions.html import html_title, strip_html
+    from pyspark.sql import functions as F
+
+    page = ("<html><head><title> My  Page </title>"
+            "<style>p{x:1}</style></head><body>"
+            "<NAV>home | about</NAV><!-- c --> <p>Hello &amp; "
+            "<b>world</b>&nbsp;&#39;quoted&#39;</p>"
+            "<script>if (1 < 2) alert('x')</script>"
+            "<footer>bye</footer></body></html>")
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    row = df.select(strip_html(F.col("html")).alias("t"),
+                    html_title(F.col("html")).alias("ti")).collect()[0]
+    assert row["t"] == "Hello & world 'quoted'"
+    assert row["ti"] == "My Page"
