@@ -632,6 +632,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("n_chars", F.length("main_text").cast("bigint"))
     q["x34_html_strip"] = x34_html_strip
 
+    def x35_pack_sequences(spark, sf):
+        # sharded greedy sequence packing over the x33 chunks
+        from paperslicer_spark.operators.curation import (
+            chunk_documents, pack_sequences)
+        chunks = chunk_documents(_t(spark, sf, "documents"),
+                                 "doc_id", "text",
+                                 chunk_tokens=32, overlap=8)
+        return pack_sequences(chunks, capacity=512, n_shards=16) \
+            .drop("n_tokens")
+    q["x35_pack_sequences"] = x35_pack_sequences
+
     return q
 
 
@@ -1199,6 +1210,31 @@ WITH h AS (
   FROM h)
 SELECT doc_id, title, main_text, CAST(length(main_text) AS BIGINT) AS n_chars
 FROM s
+"""
+
+    # x35: sharded contiguous packing over the x33 chunks — same
+    # md5 shard hash, same per-shard cumulative-offset window
+    o["x35_pack_sequences"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+ chunks AS (
+  SELECT doc_id, CAST(s / 24 AS BIGINT) AS chunk_idx,
+    CAST(least(32, len(t) - s) AS BIGINT) AS n_tokens
+  FROM toks, UNNEST(range(0, len(t), 24)) AS u(s)),
+ sharded AS (
+  SELECT *, CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+    1, 15) AS BIGINT) % 16 AS shard
+  FROM chunks),
+ offs AS (
+  SELECT doc_id, chunk_idx, shard,
+    CAST(sum(n_tokens) OVER (PARTITION BY shard
+      ORDER BY doc_id, chunk_idx) - n_tokens AS BIGINT) AS st
+  FROM sharded)
+SELECT doc_id, chunk_idx, shard,
+  shard * 1000000000 + CAST(floor(st / 512) AS BIGINT) AS pack_id,
+  st % 512 AS pack_offset
+FROM offs
 """
 
     o["x20_cosine_dup_pairs"] = """

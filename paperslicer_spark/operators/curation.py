@@ -217,3 +217,39 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
             F.col("c.chunk_text").alias("chunk_text"),
         )
     )
+
+
+def pack_sequences(chunks: DataFrame, doc_col: str = "doc_id",
+                   idx_col: str = "chunk_idx",
+                   token_col: str = "n_tokens",
+                   capacity: int = 512, n_shards: int = 16) -> DataFrame:
+    """Greedy contiguous sequence packing (concat-then-chop): chunks
+    are laid end-to-end in (doc, chunk) order and cut into packs of
+    ``capacity`` tokens — the standard fixed-context batching prep.
+
+    A single global ordering would be one window partition = one task,
+    so packing is SHARDED: each doc hashes to one of ``n_shards``
+    streams (seeded md5 — deterministic across runs/cluster sizes) and
+    the cumulative-offset window runs per shard. One shuffle on the
+    shard key; shard width tunes task size at 10^12 rows (use
+    thousands of shards there). Emits the pack assignment
+    (shard, pack_id, pack_offset) per chunk; a chunk straddling a cut
+    belongs to the pack where it starts.
+    """
+    from pyspark.sql import Window
+
+    shard = F.pmod(md5_bigint(F.col(doc_col).cast("string"),
+                              salt="pack:"), F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy(doc_col, idx_col)
+    start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)) \
+        .cast("bigint")
+    return (
+        chunks.withColumn("shard", shard)
+        .withColumn("_start", start)
+        .select(
+            doc_col, idx_col, token_col, "shard",
+            (F.col("shard") * F.lit(1_000_000_000)
+             + F.floor(F.col("_start") / capacity)).alias("pack_id"),
+            F.pmod(F.col("_start"), F.lit(capacity)).alias("pack_offset"),
+        )
+    )

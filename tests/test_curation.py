@@ -290,3 +290,32 @@ def test_strip_html_boilerplate(spark):
                     html_title(F.col("html")).alias("ti")).collect()[0]
     assert row["t"] == "Hello & world 'quoted'"
     assert row["ti"] == "My Page"
+
+
+def test_pack_sequences_invariants(spark):
+    from paperslicer_spark.operators.curation import (
+        chunk_documents, pack_sequences)
+
+    rows = [(i, " ".join(f"w{j}" for j in range(70))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_documents(df, "doc_id", "text",
+                             chunk_tokens=32, overlap=8)
+    packed = pack_sequences(chunks, capacity=64, n_shards=4).collect()
+    # per shard: offsets in (doc, chunk) order are a contiguous token
+    # layout; pack_id = start // capacity; deterministic across runs
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= {0, 1, 2, 3} and len(by_shard) > 1
+    for shard, rs in by_shard.items():
+        rs = sorted(rs, key=lambda r: (r["doc_id"], r["chunk_idx"]))
+        total = 0
+        for r in rs:
+            assert r["pack_id"] == shard * 1_000_000_000 + total // 64
+            assert r["pack_offset"] == total % 64
+            total += r["n_tokens"]
+    again = {(r["doc_id"], r["chunk_idx"]): r["pack_id"]
+             for r in pack_sequences(chunks, capacity=64,
+                                     n_shards=4).collect()}
+    assert again == {(r["doc_id"], r["chunk_idx"]): r["pack_id"]
+                     for r in packed}
