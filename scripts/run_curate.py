@@ -26,6 +26,9 @@ Outputs under ``--output``:
   quality/   per-doc Gopher stats + keep flag
   clusters/  (doc, cluster, is_rep) for docs in any near-dup component
   keep/      final curated keep-list (doc_id, lang, bucket)
+  chunks/    kept docs → overlapping context windows + pack
+             assignment, partitioned by shard (ready for a trainer to
+             read shard-parallel in pack order)
   metrics/   one-row funnel summary (counts + drop rates per stage)
 """
 
@@ -52,12 +55,17 @@ def main() -> None:
     ap.add_argument("--rates", default="en=0.5,de=0.25,fr=0.25,es=0.25",
                     help="per-stratum sample rates, k=v comma list")
     ap.add_argument("--default-rate", type=float, default=0.1)
+    ap.add_argument("--chunk-tokens", type=int, default=32)
+    ap.add_argument("--chunk-overlap", type=int, default=8)
+    ap.add_argument("--pack-capacity", type=int, default=512)
+    ap.add_argument("--pack-shards", type=int, default=16)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
     from paperslicer_spark.operators.curation import (
-        gopher_quality, stratified_sample)
+        chunk_documents, gopher_quality, pack_sequences,
+        stratified_sample)
     from paperslicer_spark.operators.dedup import dup_clusters
     from paperslicer_spark.session import get_spark
 
@@ -68,6 +76,7 @@ def main() -> None:
     out = args.output
     q_dir, c_dir = os.path.join(out, "quality"), os.path.join(out, "clusters")
     k_dir, m_dir = os.path.join(out, "keep"), os.path.join(out, "metrics")
+    ch_dir = os.path.join(out, "chunks")
 
     ran, skipped = [], []
     for name, path, build in (
@@ -96,6 +105,23 @@ def main() -> None:
             .select(args.id_col, args.strata_col, "bucket") \
             .write.mode("overwrite").parquet(k_dir)
         ran.append("keep")
+
+    if _done(ch_dir):
+        skipped.append("chunks")
+    else:
+        kept_docs = docs.join(
+            spark.read.parquet(k_dir).select(args.id_col),
+            args.id_col, "left_semi")
+        chunks = chunk_documents(kept_docs, args.id_col, args.text_col,
+                                 chunk_tokens=args.chunk_tokens,
+                                 overlap=args.chunk_overlap)
+        packed = pack_sequences(chunks, doc_col=args.id_col,
+                                capacity=args.pack_capacity,
+                                n_shards=args.pack_shards)
+        (chunks.join(packed.drop("n_tokens"),
+                     [args.id_col, "chunk_idx"])
+         .write.mode("overwrite").partitionBy("shard").parquet(ch_dir))
+        ran.append("chunks")
 
     # funnel metrics are cheap — recompute every run (always fresh)
     n_docs = docs.count()

@@ -176,15 +176,15 @@ def test_run_curate_cli_and_resume(tmp_path):
     assert r1.returncode == 0, r1.stderr[-2000:]
     line1 = [ln for ln in r1.stdout.splitlines()
              if ln.startswith("curation:")][0]
-    assert "'ran': ['quality', 'clusters', 'keep']" in line1
-    for sub in ("quality", "clusters", "keep", "metrics"):
+    assert "'ran': ['quality', 'clusters', 'keep', 'chunks']" in line1
+    for sub in ("quality", "clusters", "keep", "chunks", "metrics"):
         assert (out / sub / "_SUCCESS").exists()
     r2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
     assert r2.returncode == 0, r2.stderr[-2000:]
     line2 = [ln for ln in r2.stdout.splitlines()
              if ln.startswith("curation:")][0]
     assert "'ran': []" in line2
-    assert "'skipped': ['quality', 'clusters', 'keep']" in line2
+    assert "'skipped': ['quality', 'clusters', 'keep', 'chunks']" in line2
 
     import duckdb
     met = duckdb.sql(
@@ -193,6 +193,12 @@ def test_run_curate_cli_and_resume(tmp_path):
         f"select count(*) n from '{out}/keep/*.parquet'").df()["n"][0]
     assert met["n_docs"] == 500 and met["n_kept"] == n_keep > 0
     assert 0.0 < met["keep_rate"] < 1.0
+    # chunks: every kept doc chunked, pack assignment carried
+    ch = duckdb.sql(
+        f"select count(distinct doc_id) d, count(*) n, "
+        f"count(distinct pack_id) p from '{out}/chunks/*/*.parquet'"
+    ).df().iloc[0]
+    assert ch["d"] == n_keep and ch["n"] >= n_keep and ch["p"] > 0
 
 
 def test_gopher_quality_streams_stateless(spark, tmp_path):
