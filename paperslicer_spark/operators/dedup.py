@@ -311,11 +311,22 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         .agg(F.least(F.min("d"), F.first("s")).alias("label"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         prop = edges.join(labels, edges["s"] == labels["node"]).select(
             F.col("d").alias("node"), F.col("label"))
+        # pointer jumping: also adopt label[label] (a label is always
+        # itself a node, so the self-join resolves) — collapses the
+        # round count from O(diameter) to O(log n), which is what
+        # keeps a pathological chain from exhausting max_iter
+        jump = (
+            labels.alias("l1")
+            .join(labels.alias("l2"),
+                  F.col("l1.label") == F.col("l2.node"))
+            .select(F.col("l1.node").alias("node"),
+                    F.col("l2.label").alias("label"))
+        )
         new_labels = (
-            labels.unionByName(prop)
+            labels.unionByName(prop).unionByName(jump)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
@@ -328,8 +339,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         converged = changed.isEmpty()
         labels = new_labels
         if converged:
-            break
-    return labels
+            return labels
+    # silent wrong labels would poison every downstream dedup decision
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(graph diameter ≫ 2^{max_iter} should be impossible — "
+        "check for label-churn bugs or raise max_iter)")
 
 
 def dup_clusters(df: DataFrame, id_col: str, text_col: str,

@@ -325,3 +325,12 @@ def test_pack_sequences_invariants(spark):
                                      n_shards=4).collect()}
     assert again == {(r["doc_id"], r["chunk_idx"]): r["pack_id"]
                      for r in packed}
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    # a 300-node path has diameter 299: plain neighbor propagation
+    # would exhaust max_iter=50; pointer jumping converges in O(log n)
+    edges = [(i, i + 1) for i in range(300)]
+    labels = _cc(spark, edges, max_iter=15)
+    assert set(labels.values()) == {0}
+    assert len(labels) == 301
