@@ -1154,7 +1154,7 @@ WITH toks AS (
     CAST(simhash AS HUGEINT) + CASE WHEN simhash < 0
       THEN CAST('18446744073709551616' AS HUGEINT)
       ELSE CAST(0 AS HUGEINT) END AS u
-  FROM sig),
+  FROM sig WHERE simhash <> 0),
  banded AS ({sh_bands})
 SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
   bit_count(xor(a.simhash, b.simhash)) AS hamming

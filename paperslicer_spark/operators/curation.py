@@ -182,7 +182,8 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
 
 
 def chunk_documents(df: DataFrame, id_col: str, text_col: str,
-                    chunk_tokens: int = 32, overlap: int = 8) -> DataFrame:
+                    chunk_tokens: int = 32, overlap: int = 8,
+                    max_chunks: int | None = 100_000) -> DataFrame:
     """Context-window chunking: split each document into overlapping
     windows of ``chunk_tokens`` whitespace tokens with ``overlap``
     tokens shared between consecutive chunks (stride = chunk_tokens -
@@ -193,10 +194,23 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
     ZERO shuffles; one doc row fans out to ceil(n/stride) chunk rows
     inside its own scan partition — trivially 100 TB-parallel. Blank
     docs are excluded (oracle-identical semantics).
+
+    ``max_chunks`` bounds the per-row blowup: the chunk array (with
+    its ~chunk/stride× overlap duplication) materializes in ONE row
+    buffer before the explode, so an adversarial multi-GB document
+    would otherwise spike task memory — the same oversized-row
+    guardrail shape as ``parse_turns_fused``'s max_turns_per_conv.
+    Chunks past the cap are dropped (the doc is truncated, not
+    errored — chunking an outlier's head is the usual intent).
     """
     assert 0 < overlap < chunk_tokens
     stride = chunk_tokens - overlap
     toks = tokens(F.lower(F.col(text_col)))
+    if max_chunks is not None:
+        # truncate the token ARRAY (not just the start sequence) so
+        # the tail chunk's n_tokens and chunk_text stay consistent:
+        # max_chunks*stride tokens → exactly max_chunks window starts
+        toks = F.slice(toks, 1, max_chunks * stride)
     n = F.size(toks)
     chunks = F.transform(
         F.sequence(F.lit(0), n - 1, F.lit(stride)),

@@ -241,8 +241,14 @@ def simhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     DuckDB twin (x32): identical chunk arithmetic over the unsigned
     HUGEINT image of the signature; bit_count/xor agree with the JVM
     on two's-complement longs (probed: bit_count(-1)=64 both sides).
+
+    Signature 0 (the empty/NULL-text sentinel) is EXCLUDED from
+    banding: at corpus scale every blank doc shares it, forming one
+    bucket of n_blank² pairs in all four bands — a quadratic hot key
+    that says nothing (blank-vs-blank "near-dups" belong to exact
+    dedup). The oracle applies the same filter.
     """
-    sig = simhash(df, id_col, text_col)
+    sig = simhash(df, id_col, text_col).where(F.col("simhash") != 0)
     band_rows = [
         sig.select(
             "doc", "simhash", F.lit(b).alias("band"),

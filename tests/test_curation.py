@@ -334,3 +334,18 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     labels = _cc(spark, edges, max_iter=15)
     assert set(labels.values()) == {0}
     assert len(labels) == 301
+
+
+def test_chunk_documents_max_chunks_guardrail(spark):
+    from paperslicer_spark.operators.curation import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(500))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        chunk_documents(df, "doc_id", "text", chunk_tokens=32, overlap=8,
+                        max_chunks=3).collect(),
+        key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2]   # truncated
+    # tail chunk stays self-consistent after truncation
+    assert all(len(r["chunk_text"].split()) == r["n_tokens"] for r in out)
+    assert out[-1]["n_tokens"] == 24                    # 72-token head, s=48
