@@ -19,7 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from paperslicer_spark.functions.text_stats import md5_bigint, shingles
+from paperslicer_spark.functions.text_stats import (md5_bigint, shingles,
+                                                    tokens)
 
 
 def first_wins_dedup(df: DataFrame, primary_key, fallback_key,
@@ -373,10 +374,22 @@ def dup_clusters(df: DataFrame, id_col: str, text_col: str,
 SIMHASH_BITS = 64
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (vectorized pandas UDF —
-    per-bit majority vote is cheaper in numpy than 64 JVM aggregates).
-    Near-dup = small Hamming distance between signatures."""
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            impl: str = "pandas") -> DataFrame:
+    """64-bit SimHash over whitespace tokens. Near-dup = small Hamming
+    distance between signatures.
+
+    Two byte-identical implementations (equality-tested):
+    - ``impl="pandas"`` (default): vectorized numpy majority vote, one
+      Arrow boundary, no shuffle — right when texts are already local;
+    - ``impl="jvm"``: explode → md5 → 64 conditional sums (the
+      oracle's own formulation in DataFrame form) — fully codegen,
+      no Python workers, partial aggregation shuffles only |docs|
+      rows of 64 ints; the scale path when Python worker capacity is
+      the bottleneck.
+    """
+    if impl == "jvm":
+        return simhash_jvm(df, id_col, text_col)
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -404,3 +417,51 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     _simhash = pandas_udf(_simhash_impl, "long")
     return df.select(F.col(id_col).alias("doc"),
                      _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_jvm(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """JVM SimHash: byte-identical to the pandas implementation (and
+    to the x08 oracle SQL, which is this same formulation).
+
+    The 64-bit token hash (first 8 md5 bytes) exceeds signed-bigint
+    range, so it is carried as two 32-bit halves (``conv`` returns a
+    decimal STRING — casting a ≥2^63 value to bigint would null out).
+    Per bit p: majority vote = ``2·Σbit_p > n``. The stored signature
+    uses the same bias representation as the pandas path
+    (``unsigned - 2^63``), assembled sign-safely: bias + bit63·2^63 =
+    ``bit63 ? 0 : -2^63``.
+    """
+    tok = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("doc"),
+                F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    )
+    h = F.md5(F.col("tok"))
+    halves = tok.select(
+        "doc",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("lo"),
+    )
+
+    def bit(p: int):
+        src = F.col("hi") if p >= 32 else F.col("lo")
+        return F.shiftright(src, p - 32 if p >= 32 else p) % 2
+
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(bit(p)).alias(f"b{p}") for p in range(SIMHASH_BITS)
+    ]
+    cnt = halves.groupBy("doc").agg(*aggs)
+    sig = F.when(2 * F.col("b63") > F.col("n"), F.lit(0).cast("bigint")) \
+        .otherwise(F.lit(-(1 << 63)).cast("bigint"))
+    for p in range(SIMHASH_BITS - 1):
+        sig = sig + F.when(2 * F.col(f"b{p}") > F.col("n"),
+                           F.lit(1 << p).cast("bigint")) \
+            .otherwise(F.lit(0).cast("bigint"))
+    out = cnt.select("doc", sig.alias("simhash"))
+    blanks = (
+        df.where(F.col(text_col).isNull()
+                 | (F.trim(F.col(text_col)) == ""))
+        .select(F.col(id_col).alias("doc"),
+                F.lit(0).cast("bigint").alias("simhash"))
+    )
+    return out.unionByName(blanks)

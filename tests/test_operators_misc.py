@@ -415,3 +415,23 @@ def test_simhash_lsh_pairs_recall(spark):
     if h12 <= 3:                       # guaranteed-recall regime
         assert (1, 2) in got and got[(1, 2)] == h12
     assert all(4 not in p for p in got)
+
+
+def test_simhash_jvm_equals_pandas(spark):
+    """The codegen formulation must be byte-identical to the numpy
+    majority vote (and therefore to the x08 oracle) — including blank
+    and NULL docs (signature 0) and bit-63 sign handling."""
+    from paperslicer_spark.operators.dedup import simhash, simhash_jvm
+
+    rows = [(i, " ".join(f"tok{j % (3 + i)}" for j in range(30)))
+            for i in range(30)]
+    rows += [(100, ""), (101, "   "), (102, None), (103, "single")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc"]: r["simhash"]
+         for r in simhash(df, "doc_id", "text").collect()}
+    b = {r["doc"]: r["simhash"]
+         for r in simhash_jvm(df, "doc_id", "text").collect()}
+    assert a == b and len(a) == 34
+    assert a[100] == a[102] == 0
+    # both sign regimes occur in the sample (bias representation)
+    assert any(v < 0 for v in a.values()) and any(v > 0 for v in a.values())
