@@ -643,6 +643,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .drop("n_tokens")
     q["x35_pack_sequences"] = x35_pack_sequences
 
+    def x36_quantize_embeddings(spark, sf):
+        # int8 scalar quantization + dequantized-cosine fidelity
+        return SIM.quantize_embeddings(_t(spark, sf, "embeddings"))
+    q["x36_quantize_embeddings"] = x36_quantize_embeddings
+
     return q
 
 
@@ -1235,6 +1240,30 @@ SELECT doc_id, chunk_idx, shard,
   shard * 1000000000 + CAST(floor(st / 512) AS BIGINT) AS pack_id,
   st % 512 AS pack_offset
 FROM offs
+"""
+
+    # x36: identical IEEE-double quantize/dequantize expressions; the
+    # 6dp-rounded cosine convention is the q12/x20 precedent
+    o["x36_quantize_embeddings"] = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ s AS (
+  SELECT vec_id, e,
+    list_max(list_transform(e, x -> abs(x))) AS scale
+  FROM v),
+ q AS (
+  SELECT vec_id, e, scale,
+    CASE WHEN scale = 0
+      THEN list_transform(e, x -> CAST(0 AS INT))
+      ELSE list_transform(e, x -> CAST(round(x * 127.0 / scale) AS INT))
+    END AS qvec
+  FROM s)
+SELECT vec_id, round(scale, 6) AS scale, qvec,
+  CASE WHEN scale = 0 THEN 0.0 ELSE
+    round(list_cosine_similarity(e,
+      list_transform(qvec, y -> CAST(y AS DOUBLE) * scale / 127.0)), 6)
+  END AS cos_fidelity
+FROM q
 """
 
     o["x20_cosine_dup_pairs"] = """

@@ -282,3 +282,33 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Scalar int8 quantization with per-vector max-abs scale — the
+    standard 4× embedding-storage reduction, plus the fidelity number
+    a pipeline needs to decide it was safe: cosine between the
+    original and the dequantized vector (6dp, matching the engine's
+    cosine convention).
+
+    Pure JVM higher-order functions on the base scan, zero shuffles;
+    the DuckDB twin (x36) runs the same expressions with IEEE-double
+    arithmetic so the rounded values agree exactly. All-zero vectors
+    quantize to zeros with scale 0 and drift 0 by convention.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs))
+    qvec = F.transform(
+        v, lambda x: F.round(x * 127.0 / scale).cast("int"))
+    dq = F.transform(
+        qvec, lambda q: q.cast("double") * scale / 127.0)
+    drift = F.when(scale == 0.0, F.lit(0.0)) \
+        .otherwise(F.round(cosine(v, dq), 6))
+    zeros = F.transform(v, lambda x: F.lit(0).cast("int"))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.when(scale == 0.0, zeros).otherwise(qvec).alias("qvec"),
+        drift.alias("cos_fidelity"),
+    )

@@ -435,3 +435,21 @@ def test_simhash_jvm_equals_pandas(spark):
     assert a[100] == a[102] == 0
     # both sign regimes occur in the sample (bias representation)
     assert any(v < 0 for v in a.values()) and any(v > 0 for v in a.values())
+
+
+def test_quantize_embeddings_fidelity(spark):
+    from paperslicer_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),        # all-zero convention
+        (3, [0.001, 0.002, -0.003, 0.127]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert out[1]["qvec"] == [127, -64, 32, 0] and out[1]["scale"] == 1.0
+    assert out[1]["cos_fidelity"] >= 0.999
+    assert out[2]["qvec"] == [0, 0, 0, 0]
+    assert out[2]["scale"] == 0.0 and out[2]["cos_fidelity"] == 0.0
+    assert max(abs(v) for v in out[3]["qvec"]) == 127
+    assert out[3]["cos_fidelity"] >= 0.999
