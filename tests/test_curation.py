@@ -349,3 +349,37 @@ def test_chunk_documents_max_chunks_guardrail(spark):
     # tail chunk stays self-consistent after truncation
     assert all(len(r["chunk_text"].split()) == r["n_tokens"] for r in out)
     assert out[-1]["n_tokens"] == 24                    # 72-token head, s=48
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    """Seeded-random property: stride-prefixes of the chunks, plus the
+    final chunk's tail, reconstruct the exact token stream; overlap
+    regions agree between consecutive chunks."""
+    import random
+
+    rng = random.Random(1234)
+    rows = [(i, " ".join(f"t{rng.randrange(100)}"
+                         for _ in range(rng.randrange(1, 120))))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ct, ov = 16, 4
+    stride = ct - ov
+    from paperslicer_spark.operators.curation import chunk_documents
+
+    out = {}
+    for r in chunk_documents(df, "doc_id", "text",
+                             chunk_tokens=ct, overlap=ov).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in rows:
+        want = text.lower().split()
+        rs = sorted(out[doc_id], key=lambda r: r["chunk_idx"])
+        got = []
+        for i, r in enumerate(rs):
+            toks = r["chunk_text"].split()
+            assert len(toks) == r["n_tokens"] <= ct
+            if i < len(rs) - 1:
+                nxt = rs[i + 1]["chunk_text"].split()
+                assert toks[stride:stride + ov] == nxt[:ov] or \
+                    len(toks) <= stride
+            got.extend(toks[:stride] if i < len(rs) - 1 else toks)
+        assert got == want, doc_id
