@@ -648,6 +648,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SIM.quantize_embeddings(_t(spark, sf, "embeddings"))
     q["x36_quantize_embeddings"] = x36_quantize_embeddings
 
+    def x37_source_token_stats(spark, sf):
+        # per-source corpus shape: exact token-count percentiles +
+        # mean (the mix-auditing rollup a curation run reports)
+        docs = _t(spark, sf, "documents")
+        wc = TS.word_count(F.col("text"))
+        return (
+            docs.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.percentile(wc, F.lit(0.5)), 6).alias("p50"),
+                 F.round(F.percentile(wc, F.lit(0.9)), 6).alias("p90"),
+                 F.round(F.percentile(wc, F.lit(0.99)), 6).alias("p99"),
+                 F.round(F.avg(wc), 6).alias("mean_tokens"))
+        )
+    q["x37_source_token_stats"] = x37_source_token_stats
+
     return q
 
 
@@ -1264,6 +1279,17 @@ SELECT vec_id, round(scale, 6) AS scale, qvec,
       list_transform(qvec, y -> CAST(y AS DOUBLE) * scale / 127.0)), 6)
   END AS cos_fidelity
 FROM q
+"""
+
+    # x37: exact percentiles — Spark `percentile` and DuckDB
+    # `quantile_cont` both linearly interpolate over the sorted values
+    o["x37_source_token_stats"] = f"""
+SELECT source, count(*) AS n_docs,
+  round(quantile_cont({_WORDS_EXPR}, 0.5), 6) AS p50,
+  round(quantile_cont({_WORDS_EXPR}, 0.9), 6) AS p90,
+  round(quantile_cont({_WORDS_EXPR}, 0.99), 6) AS p99,
+  round(avg({_WORDS_EXPR}), 6) AS mean_tokens
+FROM documents GROUP BY source
 """
 
     o["x20_cosine_dup_pairs"] = """
