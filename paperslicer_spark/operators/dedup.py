@@ -250,17 +250,7 @@ def simhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     dedup). The oracle applies the same filter.
     """
     sig = simhash(df, id_col, text_col).where(F.col("simhash") != 0)
-    band_rows = [
-        sig.select(
-            "doc", "simhash", F.lit(b).alias("band"),
-            (F.shiftrightunsigned("simhash", 16 * b) % 65536)
-            .alias("bkey"),
-        )
-        for b in range(4)
-    ]
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+    banded = _simhash_bands(sig)
     a, b2 = banded.alias("a"), banded.alias("b")
     return (
         a.join(b2, (F.col("a.band") == F.col("b.band"))
@@ -275,6 +265,29 @@ def simhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def _simhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc, simhash) → one row per 16-bit chunk with a NON-NEGATIVE
+    band key. ``pmod``, not ``%``: band 0's chunk of a negative
+    signature keeps the sign under Java's signed remainder (r-65536
+    vs r), so a mixed-sign pair sharing only the low chunk would get
+    unequal Spark keys while the oracle's unsigned arithmetic pairs
+    them — pinned by test_simhash_bands_mixed_sign_low_chunk. Bands
+    1-3 are sign-safe anyway (>>> clears the sign bit) but use pmod
+    uniformly."""
+    band_rows = [
+        sig.select(
+            "doc", "simhash", F.lit(b).alias("band"),
+            F.pmod(F.shiftrightunsigned("simhash", 16 * b),
+                   F.lit(65536)).alias("bkey"),
+        )
+        for b in range(4)
+    ]
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    return banded
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
@@ -294,12 +307,11 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
       the join key) + ONE min-aggregate — no driver-side graph;
     - lineage is truncated per round with ``localCheckpoint`` so the
       Catalyst plan stays O(1) across iterations;
-    - rounds needed = graph diameter. Near-dup components are shallow
-      (stars/cliques around a template), so a handful of rounds; for
-      adversarially long chains the alternating large-star/small-star
-      scheme (Kiveris et al., "Connected Components in MapReduce")
-      converges in O(log² n) rounds — same join shape, swap the
-      propagation rule if chains ever dominate;
+    - rounds = O(log n): each round combines neighbor propagation
+      with pointer jumping (adopt label[label] — the hash-to-min
+      family, cf. Kiveris et al., "Connected Components in
+      MapReduce"), so shallow near-dup components converge in 1-2
+      rounds and even a pathological chain converges in log₂(length);
     - convergence test is a co-partitioned self-join + ``isEmpty``
       (no label sums — a sum over 10^12 60-bit ids overflows bigint).
     """

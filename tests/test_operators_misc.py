@@ -453,3 +453,25 @@ def test_quantize_embeddings_fidelity(spark):
     assert out[2]["scale"] == 0.0 and out[2]["cos_fidelity"] == 0.0
     assert max(abs(v) for v in out[3]["qvec"]) == 127
     assert out[3]["cos_fidelity"] >= 0.999
+
+
+def test_simhash_bands_mixed_sign_low_chunk(spark):
+    """Regression: a mixed-sign signature pair whose ONLY clean chunk
+    is band 0 must still collide. sig_b = sig_a with bit 63 plus one
+    bit in band 1 and one in band 2 flipped (hamming 3): bands 1-3
+    are dirty, so recall depends entirely on band 0's key — which
+    under signed % (instead of pmod) differed between the negative
+    and positive representation."""
+    from paperslicer_spark.operators.dedup import _simhash_bands
+    from pyspark.sql import functions as F
+
+    sig_a = 65535                                   # positive, low=0xFFFF
+    sig_b64 = (sig_a ^ (1 << 63) ^ (1 << 20) ^ (1 << 40)) % (1 << 64)
+    sig_b = sig_b64 - (1 << 64)                     # negative long
+    df = spark.createDataFrame([(1, sig_a), (2, sig_b)],
+                               "doc long, simhash long")
+    rows = _simhash_bands(df).collect()
+    keys = {(r["doc"], r["band"]): r["bkey"] for r in rows}
+    assert all(0 <= v < 65536 for v in keys.values())
+    assert keys[(1, 0)] == keys[(2, 0)] == 65535    # the clean chunk
+    assert keys[(1, 3)] != keys[(2, 3)]             # sign bit dirty
