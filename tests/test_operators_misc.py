@@ -475,3 +475,40 @@ def test_simhash_bands_mixed_sign_low_chunk(spark):
     assert all(0 <= v < 65536 for v in keys.values())
     assert keys[(1, 0)] == keys[(2, 0)] == 65535    # the clean chunk
     assert keys[(1, 3)] != keys[(2, 3)]             # sign bit dirty
+
+
+def test_simhash_lsh_pairs_exact_recall_vs_brute_force(spark):
+    """End-to-end guarantee on a random corpus: the banded operator
+    returns EXACTLY the hamming<=3 pairs a brute-force scan of the
+    signatures finds (pigeonhole recall is total in this regime)."""
+    import random
+
+    from paperslicer_spark.operators.dedup import simhash, simhash_lsh_pairs
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        base = [rng.choice(vocab) for _ in range(25)]
+        rows.append((2 * i, " ".join(base)))
+        # a near-clone with one token swapped → often hamming<=3
+        j = rng.randrange(25)
+        base[j] = rng.choice(vocab)
+        rows.append((2 * i + 1, " ".join(base)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc"]: r["simhash"]
+            for r in simhash(df, "doc_id", "text").collect()}
+    mask = (1 << 64) - 1
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if sigs[a] == 0 or sigs[b] == 0:
+                continue
+            h = bin((sigs[a] ^ sigs[b]) & mask).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_lsh_pairs(df, "doc_id", "text",
+                                      max_hamming=3).collect()}
+    assert got == want and len(want) > 10
