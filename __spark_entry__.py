@@ -663,6 +663,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["x37_source_token_stats"] = x37_source_token_stats
 
+    def x38_distinctive_terms(spark, sf):
+        # integer-only tf-idf cousin: top-3 terms per doc by
+        # (tf desc, corpus df asc, term asc)
+        from paperslicer_spark.operators.curation import distinctive_terms
+        return distinctive_terms(_t(spark, sf, "documents"),
+                                 "doc_id", "text", k=3, min_len=4)
+    q["x38_distinctive_terms"] = x38_distinctive_terms
+
     return q
 
 
@@ -1290,6 +1298,23 @@ SELECT source, count(*) AS n_docs,
   round(quantile_cont({_WORDS_EXPR}, 0.99), 6) AS p99,
   round(avg({_WORDS_EXPR}), 6) AS mean_tokens
 FROM documents GROUP BY source
+"""
+
+    # x38: integer-only distinctive terms (tf desc, corpus df asc)
+    o["x38_distinctive_terms"] = """
+WITH tok AS (
+  SELECT doc_id AS doc,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+ tokf AS (SELECT doc, term FROM tok WHERE length(term) >= 4),
+ tf AS (SELECT doc, term, count(*) AS tf FROM tokf GROUP BY 1, 2),
+ dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT doc, rank, term, tf, df FROM (
+  SELECT doc, term, tf, df,
+    CAST(row_number() OVER (PARTITION BY doc
+      ORDER BY tf DESC, df ASC, term ASC) AS BIGINT) AS rank
+  FROM tf JOIN dfreq USING (term))
+WHERE rank <= 3
 """
 
     o["x20_cosine_dup_pairs"] = """

@@ -267,3 +267,37 @@ def pack_sequences(chunks: DataFrame, doc_col: str = "doc_id",
             F.pmod(F.col("_start"), F.lit(capacity)).alias("pack_offset"),
         )
     )
+
+
+def distinctive_terms(df: DataFrame, id_col: str, text_col: str,
+                      k: int = 3, min_len: int = 4) -> DataFrame:
+    """Top-``k`` distinctive terms per document: rank a doc's terms by
+    (term frequency DESC, corpus document frequency ASC, term ASC) —
+    the integer-only cousin of tf-idf (identical ordering for the
+    common monotone idf transforms, with zero float portability risk
+    in the oracle). ``min_len`` drops short function words.
+
+    Plan: per-doc (term, tf) pairs explode from the scan; corpus df is
+    ONE partial-aggregated groupBy joined back on term (at 10^12 rows
+    the df relation is vocabulary-sized — broadcast or shuffle join is
+    AQE's size-based call); final top-k is a per-doc window.
+    """
+    from pyspark.sql import Window
+
+    tok = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("doc"),
+                F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+        .where(F.length("term") >= min_len)
+    )
+    tf = tok.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"))
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("doc", "rank", "term", "tf", "df")
+    )

@@ -383,3 +383,25 @@ def test_chunk_documents_reconstruction_property(spark):
                     len(toks) <= stride
             got.extend(toks[:stride] if i < len(rs) - 1 else toks)
         assert got == want, doc_id
+
+
+def test_distinctive_terms_ordering(spark):
+    from paperslicer_spark.operators.curation import distinctive_terms
+
+    rows = [
+        (1, "alpha alpha alpha beta beta gamma zz"),   # zz under min_len
+        (2, "beta beta delta delta delta alpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc"], r["rank"]): r
+           for r in distinctive_terms(df, "doc_id", "text",
+                                      k=2, min_len=4).collect()}
+    # doc 1: alpha tf=3 first; beta tf=2 (df=2) over gamma tf=1
+    assert out[(1, 1)]["term"] == "alpha" and out[(1, 1)]["tf"] == 3
+    assert out[(1, 2)]["term"] == "beta"
+    # doc 2: delta tf=3 first; beta tf=2
+    assert out[(2, 1)]["term"] == "delta"
+    assert out[(2, 2)]["term"] == "beta"
+    # df counts are corpus-wide
+    assert out[(1, 2)]["df"] == 2 and out[(2, 1)]["df"] == 1
+    assert all(len(r["term"]) >= 4 for r in out.values())
