@@ -231,3 +231,51 @@ def partition_lineage(spans: DataFrame) -> DataFrame:
             F.sum(F.length("clean_text")).alias("n_clean_chars"),
         )
     )
+
+
+def exact_percentiles(df: DataFrame, group_col: str, value_expr,
+                      quantiles: dict[str, float],
+                      extra_aggs: list | None = None) -> DataFrame:
+    """Exact linearly-interpolated percentiles (R-7, same rule as
+    Spark ``percentile`` / DuckDB ``quantile_cont``) computed WITHOUT
+    buffering each group's values in aggregator memory.
+
+    ``F.percentile`` is exact but its ObjectHashAggregate buffer holds
+    every value of a group on one executor — a 100 TB hazard for
+    skewed groups (round-3 VERDICT).  This form ranks values with a
+    sort-based window (spillable ExternalSorter) and picks only the
+    two bracketing rows per quantile:
+
+      pos  = q * (n - 1)            # 0-based position in sorted order
+      lo   = floor(pos); frac = pos - lo
+      pq   = v[lo] + (v[lo+1] - v[lo]) * frac
+
+    One shuffle on ``group_col`` (reused by the window AND the final
+    aggregate — Exchange reuse, no second shuffle), one broadcast join
+    for the tiny per-group counts.  Output: one row per group with
+    ``p{q}`` columns rounded to 6 dp, plus any ``extra_aggs`` (applied
+    in the same final aggregate).
+    """
+    from pyspark.sql import Window
+
+    ranked = df.select(
+        F.col(group_col), value_expr.cast("double").alias("_v")
+    ).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy("_v")) - 1,
+    )
+    counts = ranked.groupBy(group_col).agg(F.count("*").alias("_n"))
+    j = ranked.join(F.broadcast(counts), group_col)
+
+    aggs = []
+    for name, qv in quantiles.items():
+        pos = F.lit(qv) * (F.col("_n") - 1)
+        lo = F.floor(pos)
+        frac = pos - lo
+        v_lo = F.max(F.when(F.col("_rn") == lo, F.col("_v")))
+        v_hi = F.max(F.when(F.col("_rn") == lo + 1, F.col("_v")))
+        interp = v_lo + (F.coalesce(v_hi, v_lo) - v_lo) * F.max(frac)
+        aggs.append(F.round(interp, 6).alias(name))
+    aggs.extend(extra_aggs or [])
+    return j.groupBy(group_col).agg(*aggs)
