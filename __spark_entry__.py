@@ -1206,10 +1206,14 @@ JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
-    # x33: context-window chunking (stride 24 = 32 - 8 overlap)
+    # x33: context-window chunking (stride 24 = 32 - 8 overlap).
+    # The [1:2400000] slice mirrors chunk_documents' max_chunks=100000
+    # token-array guardrail (100000 * stride 24) — without it a
+    # >2.4M-token document would hash-diverge (round-3 ADVICE)
     o["x33_chunk_documents"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  SELECT doc_id,
+    (string_split_regex(trim(lower(text)), '\\s+'))[1:2400000] AS t
   FROM documents WHERE trim(text) <> '')
 SELECT doc_id, CAST(s / 24 AS BIGINT) AS chunk_idx,
   CAST(least(32, len(t) - s) AS BIGINT) AS n_tokens,
@@ -1256,10 +1260,12 @@ FROM s
 """
 
     # x35: sharded contiguous packing over the x33 chunks — same
-    # md5 shard hash, same per-shard cumulative-offset window
+    # md5 shard hash, same per-shard cumulative-offset window; the
+    # [1:2400000] slice mirrors max_chunks (see x33)
     o["x35_pack_sequences"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  SELECT doc_id,
+    (string_split_regex(trim(lower(text)), '\\s+'))[1:2400000] AS t
   FROM documents WHERE trim(text) <> ''),
  chunks AS (
   SELECT doc_id, CAST(s / 24 AS BIGINT) AS chunk_idx,
@@ -1275,7 +1281,7 @@ WITH toks AS (
       ORDER BY doc_id, chunk_idx) - n_tokens AS BIGINT) AS st
   FROM sharded)
 SELECT doc_id, chunk_idx, shard,
-  shard * 1000000000 + CAST(floor(st / 512) AS BIGINT) AS pack_id,
+  CAST(floor(st / 512) AS BIGINT) AS pack_seq,
   st % 512 AS pack_offset
 FROM offs
 """

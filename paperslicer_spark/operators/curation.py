@@ -246,9 +246,12 @@ def pack_sequences(chunks: DataFrame, doc_col: str = "doc_id",
     streams (seeded md5 — deterministic across runs/cluster sizes) and
     the cumulative-offset window runs per shard. One shuffle on the
     shard key; shard width tunes task size at 10^12 rows (use
-    thousands of shards there). Emits the pack assignment
-    (shard, pack_id, pack_offset) per chunk; a chunk straddling a cut
-    belongs to the pack where it starts.
+    thousands of shards there). Emits the pack assignment as the
+    COMPOSITE key (shard, pack_seq) plus pack_offset per chunk — a
+    single encoded bigint id would silently collide once a shard
+    exceeds the multiplier (round-3 ADVICE: ~512e9 tokens/shard at
+    capacity 512 with 16 shards is plausible at 10^12 rows). A chunk
+    straddling a cut belongs to the pack where it starts.
     """
     from pyspark.sql import Window
 
@@ -262,8 +265,7 @@ def pack_sequences(chunks: DataFrame, doc_col: str = "doc_id",
         .withColumn("_start", start)
         .select(
             doc_col, idx_col, token_col, "shard",
-            (F.col("shard") * F.lit(1_000_000_000)
-             + F.floor(F.col("_start") / capacity)).alias("pack_id"),
+            F.floor(F.col("_start") / capacity).alias("pack_seq"),
             F.pmod(F.col("_start"), F.lit(capacity)).alias("pack_offset"),
         )
     )

@@ -111,12 +111,15 @@ def _stateful_fn(emit, max_turns_per_conv=None):
     callback ``(conv_id, turn_idxs, texts, status) -> pd.DataFrame``.
 
     ``max_turns_per_conv`` is the state-store guardrail (the streaming
-    twin of the batch paths' argument): a conversation whose buffered
-    fragment count exceeds it stops accumulating immediately — its
-    state collapses to an ``oversized`` marker that emits one
-    ``status='oversized'`` row and then tombstones, so an adversarial
-    never-ending conversation bounds BOTH executor memory and the
-    state store, instead of growing until the timeout."""
+    twin of the batch paths' argument): the cap is checked per
+    appended fragment INSIDE the batch loop — the moment a
+    conversation exceeds it the buffer is dropped and further
+    fragments are ignored (exactly the batch paths' ``state['over']``
+    semantics, including a ``<back`` arriving after the cap NOT
+    rescuing the conversation), one ``status='oversized'`` row is
+    emitted and the state tombstones. Within-batch memory is bounded
+    to cap+1 fragments plus the Arrow batch pandas already
+    materialized; cross-batch state is bounded to the cap."""
 
     def fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
@@ -140,18 +143,25 @@ def _stateful_fn(emit, max_turns_per_conv=None):
             state.update(([], [], True))
             _set_timeout(state)
             return
-        complete = False
+        complete = over = False
         for pdf in pdfs:
             for ti, tx in zip(pdf["turn_idx"], pdf["text"]):
-                if tx is None:
+                if tx is None or over:
                     continue
                 turn_idxs.append(int(ti))
                 texts.append(tx)
                 if tx.startswith("<back"):
                     complete = True
-        if (max_turns_per_conv and not complete
-                and len(texts) > max_turns_per_conv):
-            # oversized: emit the marker now, drop the buffer, tombstone
+                if (max_turns_per_conv
+                        and len(texts) > max_turns_per_conv):
+                    # cap tripped mid-loop: drop the buffer NOW (batch
+                    # paths' state['over'] shape) so within-batch
+                    # memory is bounded too, not just cross-batch state
+                    over = True
+                    turn_idxs, texts = [], []
+        if over:
+            # oversized wins even over a same-batch <back — identical
+            # to the batch paths, where 'over' never resets
             state.update(([], [], True))
             _set_timeout(state)
             yield emit(conv_id, [], [], "oversized")

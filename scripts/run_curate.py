@@ -41,8 +41,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _done(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+def _done(spark, path: str) -> bool:
+    """_SUCCESS marker check through the Hadoop FileSystem API so
+    stage-level resume engages on every supported scheme (s3a://,
+    hdfs://, file://) — ``os.path.exists`` was silently local-only
+    (round-3 ADVICE: off-local the stages always re-ran)."""
+    p = spark._jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_SUCCESS")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(p)
 
 
 def main() -> None:
@@ -85,13 +91,13 @@ def main() -> None:
         ("clusters", c_dir,
          lambda: dup_clusters(docs, args.id_col, args.text_col)),
     ):
-        if _done(path):
+        if _done(spark, path):
             skipped.append(name)
             continue
         build().write.mode("overwrite").parquet(path)
         ran.append(name)
 
-    if _done(k_dir):
+    if _done(spark, k_dir):
         skipped.append("keep")
     else:
         quality = spark.read.parquet(q_dir).where("keep") \
@@ -106,7 +112,7 @@ def main() -> None:
             .write.mode("overwrite").parquet(k_dir)
         ran.append("keep")
 
-    if _done(ch_dir):
+    if _done(spark, ch_dir):
         skipped.append("chunks")
     else:
         kept_docs = docs.join(

@@ -196,7 +196,8 @@ def test_run_curate_cli_and_resume(tmp_path):
     # chunks: every kept doc chunked, pack assignment carried
     ch = duckdb.sql(
         f"select count(distinct doc_id) d, count(*) n, "
-        f"count(distinct pack_id) p from '{out}/chunks/*/*.parquet'"
+        f"count(distinct (shard, pack_seq)) p from read_parquet("
+        f"'{out}/chunks/*/*.parquet', hive_partitioning=1)"
     ).df().iloc[0]
     assert ch["d"] == n_keep and ch["n"] >= n_keep and ch["p"] > 0
 
@@ -308,7 +309,9 @@ def test_pack_sequences_invariants(spark):
                              chunk_tokens=32, overlap=8)
     packed = pack_sequences(chunks, capacity=64, n_shards=4).collect()
     # per shard: offsets in (doc, chunk) order are a contiguous token
-    # layout; pack_id = start // capacity; deterministic across runs
+    # layout; (shard, pack_seq) is the composite pack key (a single
+    # encoded bigint would collide at scale — round-3 ADVICE);
+    # deterministic across runs
     by_shard = {}
     for r in packed:
         by_shard.setdefault(r["shard"], []).append(r)
@@ -317,13 +320,13 @@ def test_pack_sequences_invariants(spark):
         rs = sorted(rs, key=lambda r: (r["doc_id"], r["chunk_idx"]))
         total = 0
         for r in rs:
-            assert r["pack_id"] == shard * 1_000_000_000 + total // 64
+            assert r["pack_seq"] == total // 64
             assert r["pack_offset"] == total % 64
             total += r["n_tokens"]
-    again = {(r["doc_id"], r["chunk_idx"]): r["pack_id"]
+    again = {(r["doc_id"], r["chunk_idx"]): (r["shard"], r["pack_seq"])
              for r in pack_sequences(chunks, capacity=64,
                                      n_shards=4).collect()}
-    assert again == {(r["doc_id"], r["chunk_idx"]): r["pack_id"]
+    assert again == {(r["doc_id"], r["chunk_idx"]): (r["shard"], r["pack_seq"])
                      for r in packed}
 
 

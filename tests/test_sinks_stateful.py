@@ -198,6 +198,17 @@ def test_stateful_oversize_guardrail():
     assert list(out2[0]["status"]) == ["oversized"]
     assert out2[0]["section_label"][0] is None
 
+    # cap + same-batch <back: oversized still wins (batch parity —
+    # 'over' never resets), and the buffer is dropped mid-loop so
+    # within-batch accumulation is bounded as well
+    fn3 = _stateful_fn(_emit, max_turns_per_conv=5)
+    st3 = _FakeState()
+    rows = [(i, f"<div><p>c{i}.</p></div>") for i in range(8)]
+    rows.append((8, "<back></back>"))
+    out3 = list(fn3(("cc",), batch(rows), st3))
+    assert [o["status"][0] for o in out3] == ["oversized"]
+    assert st3.get == ([], [], True)
+
 
 def test_stateful_sections_stream(spark, corpus_path, tmp_path):
     """output='sections': streamed long-form sections equal the batch
