@@ -82,6 +82,14 @@ def decode_png(payload: bytes):
     are luminance-based. Returns ``(w, h, gray_uint8_flat)`` or raises
     ``ValueError``/``NotImplementedError`` on malformed/unsupported
     input.
+
+    Throughput note: Up is fully vectorized and Sub is a uint8-wrap
+    ``cumsum``; Average/Paeth carry a per-pixel LEFT dependency the
+    PNG spec makes inherently sequential, so those rows run as
+    plain-int Python loops (list-based — still ~5-10x the old numpy
+    scalar-indexing form). Fine for fixture/validator traffic; a real
+    100 TB image corpus should decode with a native codec (PIL/OpenCV)
+    slotted behind this same mapInPandas seam.
     """
     import zlib
 
@@ -122,24 +130,30 @@ def decode_png(payload: bytes):
         f = raw[p]
         row = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
         p += 1 + stride
-        if f == 1:    # Sub
-            for x in range(nch, stride):
-                row[x] = (int(row[x]) + int(row[x - nch])) & 0xFF
+        if f == 1:    # Sub = per-channel mod-256 prefix sum (vector)
+            g = row.reshape(w, nch)
+            np.cumsum(g, axis=0, dtype=np.uint8, out=g)
         elif f == 2:  # Up (uint8 addition wraps mod 256 — the spec)
             row += prev
-        elif f == 3:  # Average
+        elif f == 3:  # Average — left-dependency is inherently
+            # sequential; plain-int list loop (numpy scalar indexing
+            # is ~5-10x slower per element than list ints)
+            r, pv = row.tolist(), prev.tolist()
             for x in range(stride):
-                left = int(row[x - nch]) if x >= nch else 0
-                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
+                left = r[x - nch] if x >= nch else 0
+                r[x] = (r[x] + ((left + pv[x]) >> 1)) & 0xFF
+            row = np.asarray(r, dtype=np.uint8)
+        elif f == 4:  # Paeth — same sequential left-dependency
+            r, pv = row.tolist(), prev.tolist()
             for x in range(stride):
-                a = int(row[x - nch]) if x >= nch else 0
-                b = int(prev[x])
-                c = int(prev[x - nch]) if x >= nch else 0
+                a = r[x - nch] if x >= nch else 0
+                b = pv[x]
+                c = pv[x - nch] if x >= nch else 0
                 pp = a + b - c
                 pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[x] = (int(row[x]) + pred) & 0xFF
+                r[x] = (r[x] + pred) & 0xFF
+            row = np.asarray(r, dtype=np.uint8)
         elif f != 0:
             raise ValueError(f"bad PNG filter type {f}")
         out[y] = row
