@@ -672,6 +672,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  "doc_id", "text", k=3, min_len=4)
     q["x38_distinctive_terms"] = x38_distinctive_terms
 
+    def x39_decontaminate(spark, sf):
+        # train/benchmark n-gram overlap scan (GPT-3 appendix-C shape):
+        # held-out set = every 20th doc; pairs sharing any distinct
+        # 4-gram hash. At scale the bench side broadcast-joins.
+        docs = _t(spark, sf, "documents")
+        return DD.decontaminate(
+            docs.where(F.col("doc_id") % 20 != 0),
+            docs.where(F.col("doc_id") % 20 == 0),
+            "doc_id", "text", n=4, min_shared=1)
+    q["x39_decontaminate"] = x39_decontaminate
+
+    def x40_paragraph_dedup(spark, sf):
+        # corpus-wide exact paragraph dedup (RefinedWeb recipe) over
+        # deterministically synthesized paragraphs (8-token windows
+        # joined with blank lines — the x34 synthesize-then-operate
+        # pattern; the driver corpus has no real paragraph breaks)
+        from paperslicer_spark.operators.curation import paragraph_dedup
+        docs = _t(spark, sf, "documents").where(F.trim("text") != "")
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        paras = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 1, F.lit(8)),
+            lambda s: F.array_join(F.slice(toks, s + 1, 8), " "))
+        withp = docs.select(
+            "doc_id", F.array_join(paras, "\n\n").alias("text"))
+        return paragraph_dedup(withp, "doc_id", "text")
+    q["x40_paragraph_dedup"] = x40_paragraph_dedup
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row (round-3 VERDICT: x30-x38 were judge-verified
@@ -682,7 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x30_frame_sample", "x31_audio_features", "x32_simhash_pairs",
         "x33_chunk_documents", "x34_html_strip", "x35_pack_sequences",
         "x36_quantize_embeddings", "x37_source_token_stats",
-        "x38_distinctive_terms",
+        "x38_distinctive_terms", "x39_decontaminate",
+        "x40_paragraph_dedup",
     ]
     q = {k: q[k] for k in _DRIVER_FIRST if k in q} | {
         k: v for k, v in q.items() if k not in _DRIVER_FIRST}
@@ -1336,6 +1364,49 @@ SELECT doc, rank, term, tf, df FROM (
       ORDER BY tf DESC, df ASC, term ASC) AS BIGINT) AS rank
   FROM tf JOIN dfreq USING (term))
 WHERE rank <= 3
+"""
+
+    # x39: identical 60-bit-hashed distinct 4-grams on both sides;
+    # bench = every 20th doc, any shared gram hash
+    o["x39_decontaminate"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+ grams AS (
+  SELECT DISTINCT doc_id,
+    CAST('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15)
+         AS BIGINT) AS g
+  FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i) WHERE len(t) >= 4)
+SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+  count(*) AS n_shared
+FROM grams t JOIN grams b ON t.g = b.g
+WHERE t.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+GROUP BY 1, 2 HAVING count(*) >= 1
+"""
+
+    # x40: same synthesized 8-token paragraphs; corpus-wide first-wins
+    # by (doc, pidx) order, docs reassembled from survivors
+    o["x40_paragraph_dedup"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+ paras AS (
+  SELECT doc_id, CAST(s / 8 AS BIGINT) AS pidx,
+    array_to_string(t[s + 1 : s + 8], ' ') AS para
+  FROM toks, UNNEST(range(0, len(t), 8)) AS u(s)),
+ kept AS (
+  SELECT doc_id, pidx, para,
+    row_number() OVER (PARTITION BY md5(para)
+                       ORDER BY doc_id, pidx) AS rn
+  FROM paras),
+ stats AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY 1),
+ reb AS (
+  SELECT doc_id, string_agg(para, e'\\n\\n' ORDER BY pidx) AS clean_text,
+    count(*) AS n_kept
+  FROM kept WHERE rn = 1 GROUP BY doc_id)
+SELECT s.doc_id, coalesce(r.clean_text, '') AS clean_text,
+  s.n_paras, coalesce(r.n_kept, 0) AS n_kept
+FROM stats s LEFT JOIN reb r ON s.doc_id = r.doc_id
 """
 
     o["x20_cosine_dup_pairs"] = """

@@ -303,3 +303,62 @@ def distinctive_terms(df: DataFrame, id_col: str, text_col: str,
         .where(F.col("rank") <= k)
         .select("doc", "rank", "term", "tf", "df")
     )
+
+
+def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
+                    para_sep: str = "\n{2,}",
+                    join_sep: str = "\n\n") -> DataFrame:
+    """Corpus-wide exact paragraph deduplication (the RefinedWeb /
+    Falcon recipe): split every document on ``para_sep``, keep only the
+    FIRST occurrence of each exact paragraph across the whole corpus
+    (first = lowest (doc, para_idx) — deterministic at any cluster
+    size), and reassemble each document from its surviving paragraphs.
+
+    Returns one row per input document:
+      ``(id, clean_text, n_paras, n_kept)`` — ``n_paras - n_kept`` is
+    the boilerplate removed; ``clean_text`` may be empty when every
+    paragraph first appeared elsewhere.
+
+    Plan: posexplode paragraphs → ONE window shuffle on the paragraph
+    hash (row_number in (doc, idx) order — the dedup decision) → ONE
+    groupBy shuffle on doc to reassemble in-order via
+    sort_array(collect_list(struct(idx, para))). Both keys are
+    high-cardinality; the hash side's worst skew is the corpus's most
+    repeated paragraph, whose row group is exactly what this operator
+    exists to crush. At 10^12 rows the reassembly shuffle moves only
+    KEPT paragraphs (duplicates die before it).
+    """
+    from pyspark.sql import Window
+
+    paras = (
+        df.select(F.col(id_col), F.posexplode(
+            F.split(F.col(text_col), para_sep)).alias("pidx", "para"))
+        .where(F.trim(F.col("para")) != "")
+    )
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(id_col, "pidx")
+    kept = (paras.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1))
+    stats = df.select(
+        F.col(id_col),
+        F.size(F.filter(F.split(F.col(text_col), para_sep),
+                        lambda p: F.trim(p) != "")).cast("bigint")
+        .alias("n_paras"),
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("pidx"), F.col("para")))),
+                    lambda s: s["para"]),
+                join_sep).alias("clean_text"),
+             F.count("*").cast("bigint").alias("n_kept"))
+    )
+    return (
+        stats.join(rebuilt, id_col, "left")
+        .select(id_col,
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                "n_paras",
+                F.coalesce("n_kept", F.lit(0).cast("bigint"))
+                .alias("n_kept"))
+    )

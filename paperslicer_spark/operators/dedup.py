@@ -477,3 +477,51 @@ def simhash_jvm(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 F.lit(0).cast("bigint").alias("simhash"))
     )
     return out.unionByName(blanks)
+
+
+def decontaminate(train: DataFrame, bench: DataFrame, id_col: str,
+                  text_col: str, n: int = 5, min_shared: int = 1,
+                  max_doc_freq: int | None = None) -> DataFrame:
+    """Benchmark decontamination: (train_doc, bench_doc, n_shared)
+    pairs where a training document shares ``>= min_shared`` distinct
+    token ``n``-grams with a held-out/benchmark document — the
+    train-test overlap scan every serious pretraining pipeline runs
+    (GPT-3 appendix C-style n-gram collision check; n=13 there, any n
+    here).
+
+    Plan shape: both sides explode to distinct (doc, shingle-hash)
+    pairs and equi-join on the 60-bit shingle hash. The benchmark
+    relation is benchmark-sized — millions of grams vs the corpus's
+    trillions — so at scale AQE broadcast-joins it and the train side
+    never shuffles: the scan streams past a hashed-set probe, which is
+    exactly how you want a 100 TB decontamination pass to look. The
+    per-(train,bench) counts then aggregate only the matched rows
+    (vanishingly few vs the corpus).
+
+    ``max_doc_freq`` (train-side doc-frequency cap) guards the skew
+    case where a boilerplate gram appears in millions of training docs
+    AND a benchmark doc: such grams carry no contamination signal
+    (they're corpus background) and each one fans out |train_df|
+    match rows. Pairs are only as strong as their rarest shared grams;
+    the cap drops grams above the threshold like q11's stop-shingle
+    rule, using the same single-window form.
+    """
+    def grams(df):
+        return df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+        ).select("doc", md5_bigint(F.col("shingle")).alias("g"))
+
+    tr, be = grams(train), grams(bench)
+    if max_doc_freq is not None:
+        w = Window.partitionBy("g")
+        tr = (tr.withColumn("_df", F.count("*").over(w))
+              .where(F.col("_df") <= max_doc_freq).drop("_df"))
+    return (
+        tr.alias("t")
+        .join(be.alias("b"), F.col("t.g") == F.col("b.g"))
+        .groupBy(F.col("t.doc").alias("train_doc"),
+                 F.col("b.doc").alias("bench_doc"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -408,3 +408,67 @@ def test_distinctive_terms_ordering(spark):
     # df counts are corpus-wide
     assert out[(1, 2)]["df"] == 2 and out[(2, 1)]["df"] == 1
     assert all(len(r["term"]) >= 4 for r in out.values())
+
+
+def test_decontaminate_planted_overlap(spark):
+    from paperslicer_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "intro text then the quick brown fox jumps away"),  # 3 shared 4-grams? no: 'the quick brown fox' + 'quick brown fox jumps'
+         (2, "completely different words without any overlap here"),
+         (3, "over the lazy dog ends this one")],
+        "doc_id long, text string")
+    out = {(r["train_doc"], r["bench_doc"]): r["n_shared"]
+           for r in decontaminate(train, bench, "doc_id", "text",
+                                  n=4, min_shared=1).collect()}
+    # doc 1 shares 'the quick brown fox' and 'quick brown fox jumps';
+    # doc 3 shares 'over the lazy dog'; doc 2 is clean
+    assert out == {(1, 100): 2, (3, 100): 1}
+
+
+def test_decontaminate_doc_freq_cap(spark):
+    from paperslicer_spark.operators.dedup import decontaminate
+
+    # one boilerplate 4-gram present in EVERY training doc and the
+    # benchmark: the cap removes it, leaving only the rare overlap
+    boiler = "all rights reserved worldwide"
+    bench = spark.createDataFrame(
+        [(9, boiler + " plus unique bench payload words here")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(i, boiler + f" filler {i} body") for i in range(1, 6)]
+        + [(6, boiler + " plus unique bench payload words extra")],
+        "doc_id long, text string")
+    capped = {(r["train_doc"], r["bench_doc"]): r["n_shared"]
+              for r in decontaminate(train, bench, "doc_id", "text",
+                                     n=4, min_shared=1,
+                                     max_doc_freq=3).collect()}
+    # only doc 6's genuine 4-gram overlaps survive the cap
+    assert set(capped) == {(6, 9)}
+    uncapped = {r["train_doc"]
+                for r in decontaminate(train, bench, "doc_id", "text",
+                                       n=4, min_shared=1).collect()}
+    assert uncapped == {1, 2, 3, 4, 5, 6}
+
+
+def test_paragraph_dedup_first_wins_and_rebuild(spark):
+    from paperslicer_spark.operators.curation import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha one\n\nshared body\n\nalpha tail"),
+         (2, "shared body\n\nbeta two"),      # 'shared body' dies (doc 1 owns it)
+         (3, "shared body"),                  # everything dies
+         (4, "")],                            # blank: zero paragraphs
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(docs, "doc_id", "text").collect()}
+    assert len(out) == 4
+    assert out[1]["clean_text"] == "alpha one\n\nshared body\n\nalpha tail"
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (3, 3)
+    assert out[2]["clean_text"] == "beta two"
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (2, 1)
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert (out[4]["n_paras"], out[4]["n_kept"]) == (0, 0)
