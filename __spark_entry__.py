@@ -690,10 +690,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pattern; the driver corpus has no real paragraph breaks)
         from paperslicer_spark.operators.curation import paragraph_dedup
         docs = _t(spark, sf, "documents").where(F.trim("text") != "")
-        toks = F.split(F.trim(F.col("text")), r"\s+")
-        paras = F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 1, F.lit(8)),
-            lambda s: F.array_join(F.slice(toks, s + 1, 8), " "))
+        paras = TS.bind(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda t: F.transform(
+                F.sequence(F.lit(0), F.size(t) - 1, F.lit(8)),
+                lambda s: F.array_join(F.slice(t, s + 1, 8), " ")))
         withp = docs.select(
             "doc_id", F.array_join(paras, "\n\n").alias("text"))
         return paragraph_dedup(withp, "doc_id", "text")

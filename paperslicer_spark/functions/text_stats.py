@@ -29,6 +29,22 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), WS)
 
 
+def bind(value: Column, fn) -> Column:
+    """Let-binding for Spark SQL expressions: evaluate ``value`` ONCE
+    per row and pass the materialized result to ``fn``.
+
+    Catalyst does no common-subexpression elimination inside
+    higher-order-function lambdas — an outer expression referenced in
+    a lambda body is RE-EVALUATED per array element, so e.g. slicing a
+    computed token array inside ``F.transform`` re-runs the split for
+    every window start: O(len²) per row (measured 5x on the shingle
+    scan at sf0.1; the round-3 gopher run-starts form was the same
+    trap). ``transform(array(value), v -> fn(v))[1]`` forces one
+    evaluation and hands the lambda a bound variable instead.
+    """
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
 def word_count(col: Column) -> Column:
     return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
         F.size(tokens(col))
@@ -159,16 +175,19 @@ def rolling_fingerprint(col: Column, window: int = 8, keep: int = 4,
     (executor OOM at scale). A prefix fingerprint keeps memory flat and
     is the documented semantic — near-dup detection on the head of the
     document, which is where boilerplate/title duplication lives."""
-    doc = F.substring(col, 1, max_chars)
-    n = F.length(doc)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - window + 1),
-        lambda i: F.conv(F.substring(F.md5(F.substring(doc, i, window)), 1, 15),
-                         16, 10).cast("bigint"),
-    )
-    smallest = F.slice(F.array_sort(grams), 1, keep)
-    return F.when(n < window, F.md5(doc)).otherwise(
-        F.array_join(F.transform(smallest, lambda x: x.cast("string")), "-"))
+    def build(doc):
+        n = F.length(doc)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - window + 1),
+            lambda i: F.conv(
+                F.substring(F.md5(doc.substr(i, F.lit(window))), 1, 15),
+                16, 10).cast("bigint"),
+        )
+        smallest = F.slice(F.array_sort(grams), 1, keep)
+        return F.when(n < window, F.md5(doc)).otherwise(
+            F.array_join(F.transform(smallest, lambda x: x.cast("string")),
+                         "-"))
+    return bind(F.substring(col, 1, max_chars), build)
 
 
 def positional_char_match(a: str, b: str) -> float:
@@ -191,13 +210,14 @@ def fuzzy_ratio(a: str, b: str) -> float:
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct token n-gram shingles of a text column (JVM-side)."""
-    toks = tokens(F.lower(col))
-    count = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), count - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    return F.when(count < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(grams)
-    )
+    """Distinct token n-gram shingles of a text column (JVM-side).
+    The token array is :func:`bind`-bound so per-gram slicing is O(n),
+    not a per-element re-split of the text (5x at sf0.1)."""
+    def build(t):
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+        )
+        return F.when(F.size(t) < n, F.array().cast("array<string>")) \
+            .otherwise(F.array_distinct(grams))
+    return bind(tokens(F.lower(col)), build)

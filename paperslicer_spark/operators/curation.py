@@ -22,7 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from paperslicer_spark.functions.text_stats import WS, md5_bigint, tokens
+from paperslicer_spark.functions.text_stats import (WS, bind, md5_bigint,
+                                                    tokens)
 
 
 def gopher_quality(df: DataFrame, id_col: str, text_col: str,
@@ -71,16 +72,6 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str,
             df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
 
-    toks = tokens(F.lower(F.col(text_col)))
-    bigram_arr = F.when(
-        F.size(toks) < 2, F.array().cast("array<string>"),
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
-        )
-    )
-
     def _run_step(acc, x):
         is_new = acc["prev"].isNull() | (acc["prev"] != x)
         run = F.when(is_new, F.lit(1).cast("bigint")) \
@@ -90,30 +81,46 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str,
             F.greatest(acc["best"], run).alias("best"),
         )
 
-    top_c = F.aggregate(
-        F.array_sort(bigram_arr),
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("bigint").alias("run"),
-            F.lit(0).cast("bigint").alias("best"),
-        ),
-        _run_step,
-        lambda acc: acc["best"],
-    )
-    n_bg = F.size(bigram_arr).cast("bigint")
+    def _bigrams(t):
+        return F.when(F.size(t) < 2, F.array().cast("array<string>")) \
+            .otherwise(F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.array_join(F.slice(t, i + 1, 2), " "),
+            ))
+
+    # every shape stat off ONE bind-bound token pass (the split and
+    # the bigram array are each evaluated once per row — see
+    # text_stats.bind: no CSE inside HOF lambdas, so the un-bound form
+    # re-split the text per bigram, O(len²))
+    st = bind(tokens(F.lower(F.col(text_col))), lambda t: F.struct(
+        F.size(t).cast("bigint").alias("wc"),
+        F.size(F.array_distinct(t)).alias("uniq"),
+        bind(_bigrams(t), lambda bg: F.struct(
+            F.size(bg).cast("bigint").alias("n_bg"),
+            F.aggregate(
+                F.array_sort(bg),
+                F.struct(
+                    F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).cast("bigint").alias("run"),
+                    F.lit(0).cast("bigint").alias("best"),
+                ),
+                _run_step,
+                lambda acc: acc["best"],
+            ).alias("top_c"),
+        )).alias("bg"),
+    ))
     out = (
         df.where(F.trim(F.col(text_col)) != "")
         .select(
             F.col(id_col).alias("doc"),
-            F.size(toks).cast("bigint").alias("word_count"),
+            st["wc"].alias("word_count"),
             F.round(
                 F.length(F.regexp_replace(F.col(text_col), WS, ""))
-                / F.size(toks), 6,
+                / st["wc"], 6,
             ).alias("mean_word_len"),
-            F.round(
-                F.size(F.array_distinct(toks)) / F.size(toks), 6,
-            ).alias("frac_unique"),
-            F.when(n_bg > 0, F.round(top_c / n_bg, 6))
+            F.round(st["uniq"] / st["wc"], 6).alias("frac_unique"),
+            F.when(st["bg"]["n_bg"] > 0,
+                   F.round(st["bg"]["top_c"] / st["bg"]["n_bg"], 6))
             .otherwise(F.lit(0.0)).alias("frac_top_bigram"),
         )
     )
@@ -211,16 +218,17 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
         # the tail chunk's n_tokens and chunk_text stay consistent:
         # max_chunks*stride tokens → exactly max_chunks window starts
         toks = F.slice(toks, 1, max_chunks * stride)
-    n = F.size(toks)
-    chunks = F.transform(
-        F.sequence(F.lit(0), n - 1, F.lit(stride)),
+    # bind: one split per row — un-bound, every window start re-ran
+    # the split+slice chain (O(len²/stride), see text_stats.bind)
+    chunks = bind(toks, lambda t: F.transform(
+        F.sequence(F.lit(0), F.size(t) - 1, F.lit(stride)),
         lambda s: F.struct(
-            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ")
+            F.array_join(F.slice(t, s + 1, chunk_tokens), " ")
             .alias("chunk_text"),
-            F.least(F.lit(chunk_tokens), n - s).cast("bigint")
+            F.least(F.lit(chunk_tokens), F.size(t) - s).cast("bigint")
             .alias("n_tokens"),
         ),
-    )
+    ))
     return (
         df.where(F.trim(F.col(text_col)) != "")
         .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c"))

