@@ -700,6 +700,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return paragraph_dedup(withp, "doc_id", "text")
     q["x40_paragraph_dedup"] = x40_paragraph_dedup
 
+    def x41_redact_pii(spark, sf):
+        # PII scrub (emails/IPv4/phones/long digit runs) over text with
+        # deterministically synthesized PII — the x34 pattern; both
+        # engines run the IDENTICAL RE2-safe chain from PII_PATTERNS
+        from paperslicer_spark.functions.pii import redact_pii
+        docs = _t(spark, sf, "documents")
+        seeded = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-867-"),
+                F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"),
+                       4, "0"),
+                F.lit(" from 10.0."),
+                F.pmod(F.col("doc_id"), 256).cast("string"),
+                F.lit(".7 acct "),
+                F.lpad(F.col("doc_id").cast("string"), 11, "9"),
+            ).alias("text"))
+        return redact_pii(seeded, "doc_id", "text")
+    q["x41_redact_pii"] = x41_redact_pii
+
+    def x42_exact_k_sample(spark, sf):
+        # exact-k deterministic per-stratum sample (k=15 per source,
+        # so the cap binds at sf0.01's 25 docs/source):
+        # WindowGroupLimit keeps executor-local top-k before the
+        # exchange; nested-prefix sample_rank carried for audits
+        from paperslicer_spark.operators.curation import exact_k_sample
+        docs = _t(spark, sf, "documents")
+        return exact_k_sample(docs, "doc_id", "source", k=15) \
+            .select("doc_id", "source", "sample_rank")
+    q["x42_exact_k_sample"] = x42_exact_k_sample
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row (round-3 VERDICT: x30-x38 were judge-verified
@@ -711,7 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x33_chunk_documents", "x34_html_strip", "x35_pack_sequences",
         "x36_quantize_embeddings", "x37_source_token_stats",
         "x38_distinctive_terms", "x39_decontaminate",
-        "x40_paragraph_dedup",
+        "x40_paragraph_dedup", "x41_redact_pii", "x42_exact_k_sample",
     ]
     q = {k: q[k] for k in _DRIVER_FIRST if k in q} | {
         k: v for k, v in q.items() if k not in _DRIVER_FIRST}
@@ -1408,6 +1441,46 @@ WITH toks AS (
 SELECT s.doc_id, coalesce(r.clean_text, '') AS clean_text,
   s.n_paras, coalesce(r.n_kept, 0) AS n_kept
 FROM stats s LEFT JOIN reb r ON s.doc_id = r.doc_id
+"""
+
+    # x41: the SQL chain is GENERATED from pii.PII_PATTERNS so the two
+    # engines cannot drift (same order, same RE2-safe patterns; DuckDB
+    # needs the 'g' flag Spark applies implicitly)
+    from paperslicer_spark.functions.pii import PII_PATTERNS as _PII
+
+    _pii_synth = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or +1-555-867-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.7 acct ' || lpad(CAST(doc_id AS VARCHAR), 11, '9')")
+    _pii_ctes = [f"s0 AS (SELECT doc_id, {_pii_synth} AS t FROM documents)"]
+    for _i, (_kind, _pat, _rep) in enumerate(_PII, start=1):
+        _carry = "".join(f", n_{k}" for k, _, _ in _PII[:_i - 1])
+        _pii_ctes.append(
+            f"s{_i} AS (SELECT doc_id, "
+            f"CAST(len(regexp_extract_all(t, '{_pat}')) AS BIGINT) "
+            f"AS n_{_kind}, "
+            f"regexp_replace(t, '{_pat}', '{_rep}', 'g') AS t"
+            f"{_carry} FROM s{_i - 1})")
+    _pii_total = " + ".join(f"n_{k}" for k, _, _ in _PII)
+    o["x41_redact_pii"] = (
+        "WITH " + ",\n ".join(_pii_ctes)
+        + f"\nSELECT doc_id, t AS clean_text, "
+        + ", ".join(f"n_{k}" for k, _, _ in _PII)
+        + f", {_pii_total} AS n_redacted FROM s{len(_PII)}"
+    )
+
+    # x42: identical seeded-md5 rank (salt 'samplek:', 60-bit prefix)
+    o["x42_exact_k_sample"] = """
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+    CAST(row_number() OVER (PARTITION BY source
+      ORDER BY CAST('0x' || substr(md5('samplek:' ||
+        CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id)
+      AS BIGINT) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 15
 """
 
     o["x20_cosine_dup_pairs"] = """

@@ -370,3 +370,34 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
                 F.coalesce("n_kept", F.lit(0).cast("bigint"))
                 .alias("n_kept"))
     )
+
+
+def exact_k_sample(df: DataFrame, key_col: str, strata_col: str,
+                   k: int, salt: str = "samplek:") -> DataFrame:
+    """Deterministic exact-``k`` per-stratum sample: rank rows within
+    each stratum by the seeded md5 of their key (ties by key) and keep
+    the first ``k``. The "exactly 10k docs per language" training-mix
+    operator — rate-based :func:`stratified_sample` only hits counts
+    in expectation; this hits them exactly, with the same
+    run/retry/cluster-size determinism (content hash, not ``rand()``).
+
+    Adds ``sample_rank`` (1-based within stratum) so downstream can
+    take nested prefixes (first 1k of the 10k) without resampling.
+
+    Scale: the ``row_number() <= k`` filter is a WindowGroupLimit in
+    Spark 3.5+ — executors keep only their local top-k PER GROUP
+    before the exchange (see PLANS.md x38), so the shuffle carries at
+    most ``k × partitions`` rows per stratum, not the stratum. The
+    final per-stratum sort of those survivors is the unavoidable
+    serial term; with k in the thousands it is negligible.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        md5_bigint(F.col(key_col).cast("string"), salt=salt),
+        F.col(key_col))
+    return (
+        df.withColumn("sample_rank",
+                      F.row_number().over(w).cast("bigint"))
+        .where(F.col("sample_rank") <= k)
+    )

@@ -472,3 +472,52 @@ def test_paragraph_dedup_first_wins_and_rebuild(spark):
     assert (out[2]["n_paras"], out[2]["n_kept"]) == (2, 1)
     assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
     assert (out[4]["n_paras"], out[4]["n_kept"]) == (0, 0)
+
+
+def test_redact_pii_counts_and_text(spark):
+    from paperslicer_spark.functions.pii import redact_pii
+
+    rows = [
+        (1, "mail a.b-c_1@sub.example.org now, backup x@y.io too"),
+        (2, "call +1-555-867-5309 or (212) 555-0147 x9"),
+        (3, "host 192.168.0.1 and acct 98765432109 end"),
+        (4, "clean text with no pii at all"),
+        (5, "edge a.12345678901@b.com stays one email"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df, "doc_id", "text").collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_redacted"] == 2
+    assert out[1]["clean_text"] == "mail [EMAIL] now, backup [EMAIL] too"
+    assert out[2]["n_phone"] == 2
+    assert out[2]["clean_text"] == "call [PHONE] or [PHONE] x9"
+    assert out[3]["n_ipv4"] == 1 and out[3]["n_digits"] == 1
+    assert out[3]["clean_text"] == "host [IP] and acct [NUMBER] end"
+    assert out[4]["n_redacted"] == 0 and out[4]["clean_text"] == rows[3][1]
+    # ordering contract: email scrub runs first, so the digits inside
+    # the address never count as a digit run
+    assert out[5]["n_email"] == 1 and out[5]["n_digits"] == 0
+    assert out[5]["clean_text"] == "edge [EMAIL] stays one email"
+
+
+def test_exact_k_sample_counts_and_nesting(spark):
+    from paperslicer_spark.operators.curation import exact_k_sample
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    k10 = exact_k_sample(df, "doc_id", "lang", k=10).collect()
+    by_lang = {}
+    for r in k10:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_lang["en"]) == 10 and len(by_lang["de"]) == 10
+    # deterministic across runs
+    again = {r["doc_id"] for r in
+             exact_k_sample(df, "doc_id", "lang", k=10).collect()}
+    assert again == by_lang["en"] | by_lang["de"]
+    # nested-prefix property: k=5 is exactly sample_rank <= 5 of k=10
+    k5 = {r["doc_id"] for r in
+          exact_k_sample(df, "doc_id", "lang", k=5).collect()}
+    assert k5 == {r["doc_id"] for r in k10 if r["sample_rank"] <= 5}
+    # k larger than the stratum keeps the whole stratum
+    small = exact_k_sample(df.where("lang = 'de'"), "doc_id", "lang",
+                           k=1000).count()
+    assert small == 100
