@@ -109,3 +109,26 @@ def test_lang_guess_ngram_real_sentences(spark):
                     TS.lang_guess_ngram(F.col("text")).alias("pred")).collect()
     for r in got:
         assert r["pred"] == r["want"], (r["want"], r["pred"])
+
+
+def test_bind_let_binding_semantics(spark):
+    """bind(v, f) must equal f(v) exactly — it only changes evaluation
+    count, never values — including over nulls and empty arrays."""
+    from pyspark.sql import functions as F
+
+    from paperslicer_spark.functions.text_stats import bind, tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, None), (4, "solo")],
+        "id long, text string")
+    bound = df.select(
+        "id",
+        bind(tokens(F.lower(F.col("text"))),
+             lambda t: F.array_join(t, "|")).alias("b"),
+        F.array_join(tokens(F.lower(F.col("text"))), "|").alias("d"),
+    ).collect()
+    for r in bound:
+        assert r["b"] == r["d"]
+    # null input: array(NULL) holds one null element; the lambda sees
+    # NULL and null-propagates, same as the direct form
+    assert {r["id"]: r["b"] for r in bound}[3] is None
