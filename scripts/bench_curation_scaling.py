@@ -36,21 +36,29 @@ def corpus(spark) -> str:
     from pyspark.sql import functions as F
 
     path = os.path.join(REPO, ".bench_cache",
-                        f"curation_docs_x{REPLICAS}")
+                        f"curation_docs_v2_x{REPLICAS}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
         reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+        # Near-dup structure is GROUPED, not global: every token gets
+        # a per-(replica // 8) suffix, so replicas form 8-member
+        # near-dup cliques (differing only in the trailing " repN"
+        # shingle) and share NO shingles across groups. Flat "all
+        # replicas near-identical" made LSH candidate generation
+        # quadratic in REPLICAS (x160 → ~63M pairs — a degenerate
+        # corpus, not a probe), and a fixed id stride of 16 collided
+        # doc_ids above 16 replicas (800k rows → ~80k distinct ids),
+        # chaining unrelated docs into 20-round CC components.
+        grp = (F.col("rep") / 8).cast("int").cast("string")
         big = (
             docs.crossJoin(reps)
             .select(
-                # stride by REPLICAS (not a fixed 16): with a fixed
-                # multiplier < REPLICAS the remapped ids COLLIDE across
-                # replicas (800k rows → ~80k distinct ids at x160),
-                # which chains unrelated docs into one component and
-                # blew the CC round count to 20
                 (F.col("doc_id") * REPLICAS + F.col("rep")).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(" rep"),
-                         F.col("rep").cast("string")).alias("text"),
+                F.concat(
+                    F.regexp_replace(F.col("text"), r"(\S+)",
+                                     F.concat(F.lit("$1g"), grp)),
+                    F.lit(" rep"), F.col("rep").cast("string"),
+                ).alias("text"),
                 "lang", "source",
             )
             .repartition(64)
