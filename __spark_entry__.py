@@ -733,6 +733,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "source", "sample_rank")
     q["x42_exact_k_sample"] = x42_exact_k_sample
 
+    def x43_asof_join(spark, sf):
+        # grouped as-of join (the brief's canonical custom operator):
+        # each click gets its user's most recent view at-or-before it.
+        # Union + per-key window carry — ONE shuffle, no theta-join.
+        from paperslicer_spark.operators.temporal import asof_join
+        ev = _t(spark, sf, "events")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", "value")
+        views = ev.where(F.col("event_type") == "view").select(
+            "user_id", "ts",
+            F.col("event_id").alias("view_id"),
+            F.col("value").alias("view_value"))
+        j = asof_join(clicks, views, on="user_id", ts_col="ts")
+        return j.select(
+            "event_id", "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+            F.unix_micros(F.col("ts_right").cast("timestamp"))
+            .alias("view_ts_us"),
+            F.col("view_id_right").alias("view_id"),
+            F.col("view_value_right").alias("view_value"),
+        )
+    q["x43_asof_join"] = x43_asof_join
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row (round-3 VERDICT: x30-x38 were judge-verified
@@ -745,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x36_quantize_embeddings", "x37_source_token_stats",
         "x38_distinctive_terms", "x39_decontaminate",
         "x40_paragraph_dedup", "x41_redact_pii", "x42_exact_k_sample",
+        "x43_asof_join",
     ]
     q = {k: q[k] for k in _DRIVER_FIRST if k in q} | {
         k: v for k, v in q.items() if k not in _DRIVER_FIRST}
@@ -1472,6 +1497,21 @@ FROM stats s LEFT JOIN reb r ON s.doc_id = r.doc_id
     )
 
     # x42: identical seeded-md5 rank (salt 'samplek:', 60-bit prefix)
+    # x43: DuckDB has native ASOF JOIN with identical at-or-before
+    # semantics; epoch-microsecond ints avoid timestamp formatting
+    o["x43_asof_join"] = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'click'),
+ views AS (
+  SELECT user_id, ts, event_id AS view_id, value AS view_value
+  FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.value,
+  epoch_us(v.ts) AS view_ts_us, v.view_id, v.view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
     o["x42_exact_k_sample"] = """
 SELECT doc_id, source, sample_rank FROM (
   SELECT doc_id, source,

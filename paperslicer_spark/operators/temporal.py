@@ -1,0 +1,81 @@
+"""Temporal operators Spark lacks natively: grouped as-of join.
+
+The task brief's canonical "custom operator" example — align each left
+row with the most recent right row at or before it, per key (pandas
+``merge_asof`` / DuckDB ``ASOF JOIN`` semantics, kdb ``aj``).
+
+Spark-first design: NOT a join at all. Joins need an equi-key, and a
+naive ``left.ts >= right.ts`` theta-join is a per-key cross product.
+Instead both sides union into one event stream tagged by side, ONE
+window per key ordered by (ts, side, tiebreak) carries the latest
+right row forward (``last_value(..., ignoreNulls=True)`` over rows
+UNBOUNDED PRECEDING → CURRENT ROW), and the left rows are filtered
+back out with their carried match attached.
+
+Scale shape: a single hash shuffle on the key (the window), linear in
+|left| + |right| — no fan-out, no range-bucket tuning. Skewed keys
+cost what any per-key window costs; the payload carried through the
+window is one struct per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              ts_col: str = "ts", right_cols: list[str] | None = None,
+              suffix: str = "_right",
+              strict: bool = False) -> DataFrame:
+    """For every ``left`` row, attach the latest ``right`` row with
+    ``right.ts <= left.ts`` (``strict=True``: ``<``) sharing ``on``.
+
+    Returns all ``left`` columns plus ``right_cols`` (default: every
+    non-key, non-ts right column) renamed with ``suffix``, plus
+    ``{ts_col}{suffix}`` — all NULL when no prior right row exists.
+
+    Ties: a right row at exactly ``left.ts`` matches (unless
+    ``strict``); among right rows with identical ts the LAST in the
+    window's deterministic order wins (ordered by every carried
+    column, so the result is stable across runs/cluster sizes).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, ts_col)]
+    carried = [ts_col] + right_cols
+
+    lhs = left.select(
+        F.col(on), F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(c) for c in carried])
+                         .alias("s")).schema["s"].dataType
+        ).alias("_r"),
+    )
+    rhs = right.select(
+        F.col(on), F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lhs.schema["_l"].dataType).alias("_l"),
+        F.struct(*[F.col(c) for c in carried]).alias("_r"),
+    )
+    # order: ts, then right-before-left at equal ts (so an exact-ts
+    # right row is visible to the left row), then the right payload
+    # itself as a deterministic tiebreak between equal-ts right rows.
+    # strict mode flips the side order so equal-ts rights sort AFTER
+    # the left row and are not yet visible to it.
+    side_order = F.col("_side").desc() if strict else F.col("_side").asc()
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), side_order, F.col("_r").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        lhs.unionByName(rhs)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col(f"_m.{ts_col}").alias(f"{ts_col}{suffix}"))
+    out_cols.extend(F.col(f"_m.{c}").alias(f"{c}{suffix}")
+                    for c in right_cols)
+    return matched.select(*out_cols)

@@ -512,3 +512,40 @@ def test_simhash_lsh_pairs_exact_recall_vs_brute_force(spark):
            for r in simhash_lsh_pairs(df, "doc_id", "text",
                                       max_hamming=3).collect()}
     assert got == want and len(want) > 10
+
+
+def test_asof_join_semantics(spark):
+    """Grouped as-of join: at-or-before match, exact-ts tie, strict
+    mode, no-match nulls, per-key isolation."""
+    from pyspark.sql import functions as F
+
+    from paperslicer_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 10.0), (2, "u1", 20.0), (3, "u1", 5.0),
+         (4, "u2", 15.0), (5, "u3", 50.0)],
+        "event_id long, user string, t double",
+    ).select("event_id", "user", F.col("t").alias("ts"))
+    right = spark.createDataFrame(
+        [("u1", 8.0, "a"), ("u1", 20.0, "b"), ("u1", 12.0, "c"),
+         ("u2", 99.0, "z")],
+        "user string, t double, tag string",
+    ).select("user", F.col("t").alias("ts"), "tag")
+
+    out = {r["event_id"]: r for r in
+           asof_join(left, right, on="user", ts_col="ts").collect()}
+    assert out[1]["tag_right"] == "a"          # 8 <= 10 < 12
+    assert out[2]["tag_right"] == "b"          # exact ts matches
+    assert out[3]["tag_right"] is None         # nothing at or before 5
+    assert out[4]["tag_right"] is None         # u2's only view is later
+    assert out[5]["tag_right"] is None         # u3 has no right rows
+    assert out[2]["ts_right"] == 20.0 and out[1]["ts_right"] == 8.0
+
+    strict = {r["event_id"]: r["tag_right"] for r in
+              asof_join(left, right, on="user", ts_col="ts",
+                        strict=True).collect()}
+    assert strict[2] == "c"                    # 20.0 excluded, 12.0 wins
+    assert strict[1] == "a"
+
+    # all left rows survive exactly once (left-outer cardinality)
+    assert sorted(out) == [1, 2, 3, 4, 5]
