@@ -757,6 +757,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["x43_asof_join"] = x43_asof_join
 
+    def x44_range_join(spark, sf):
+        # bucketized interval join: errors within 4h AFTER a click,
+        # per user — equi-join on (user, time-bucket) with the right
+        # side duplicated into its two candidate buckets; never a
+        # per-key cross product
+        from paperslicer_spark.operators.temporal import range_join
+        ev = _t(spark, sf, "events")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts")
+        errors = ev.where(F.col("event_type") == "error").select(
+            "user_id", "ts",
+            F.col("event_id").alias("err_id"),
+            F.col("value").alias("err_value"))
+        j = range_join(clicks, errors, on="user_id", ts_col="ts",
+                       lower=0.0, upper=14400.0)
+        return j.select(
+            "event_id", "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.unix_micros(F.col("ts_right").cast("timestamp"))
+            .alias("err_ts_us"),
+            F.col("err_id_right").alias("err_id"),
+            F.col("err_value_right").alias("err_value"),
+        )
+    q["x44_range_join"] = x44_range_join
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row (round-3 VERDICT: x30-x38 were judge-verified
@@ -769,7 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x36_quantize_embeddings", "x37_source_token_stats",
         "x38_distinctive_terms", "x39_decontaminate",
         "x40_paragraph_dedup", "x41_redact_pii", "x42_exact_k_sample",
-        "x43_asof_join",
+        "x43_asof_join", "x44_range_join",
     ]
     q = {k: q[k] for k in _DRIVER_FIRST if k in q} | {
         k: v for k, v in q.items() if k not in _DRIVER_FIRST}
@@ -1510,6 +1535,21 @@ SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.value,
   epoch_us(v.ts) AS view_ts_us, v.view_id, v.view_value
 FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+    # x44: the oracle is the NAIVE inequality join — DuckDB handles
+    # the small sf fine; epoch differences computed in microseconds
+    o["x44_range_join"] = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+ errors AS (
+  SELECT user_id, ts, event_id AS err_id, value AS err_value
+  FROM events WHERE event_type = 'error')
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+  epoch_us(e.ts) AS err_ts_us, e.err_id, e.err_value
+FROM clicks c JOIN errors e
+  ON c.user_id = e.user_id
+ AND epoch_us(e.ts) - epoch_us(c.ts) BETWEEN 0 AND 14400000000
 """
 
     o["x42_exact_k_sample"] = """

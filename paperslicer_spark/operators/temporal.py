@@ -79,3 +79,68 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     out_cols.extend(F.col(f"_m.{c}").alias(f"{c}{suffix}")
                     for c in right_cols)
     return matched.select(*out_cols)
+
+
+def range_join(left: DataFrame, right: DataFrame, on: str,
+               ts_col: str = "ts", lower: float = 0.0,
+               upper: float = 60.0,
+               right_cols: list[str] | None = None,
+               suffix: str = "_right") -> DataFrame:
+    """Interval join: every (left, right) pair sharing ``on`` with
+    ``right.ts - left.ts`` in ``[lower, upper]`` (seconds) — "errors
+    within 60 s after a click", sensor alignment, etc.
+
+    Spark planks a plain ``l.ts BETWEEN r.ts - u AND r.ts - l``
+    condition as BroadcastNestedLoopJoin (or a per-key cross product
+    under the equi-key) — quadratic in the hot key. This implements
+    the standard BUCKETIZED range join: both sides get a
+    ``floor(ts / width)`` bucket with ``width = upper - lower``; a
+    right row can only match left rows in its own or the previous
+    bucket, so the right side is duplicated into those two buckets
+    and the join becomes a pure equi-join on (key, bucket) — 2x the
+    right rows shuffled, zero fan-out beyond true matches plus
+    same-bucket candidates, then the exact interval predicate filters
+    residuals. Candidate count per bucket is bounded by the data's
+    rate x width, independent of total size.
+    """
+    assert upper > lower
+    width = upper - lower
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, ts_col)]
+
+    def _epoch(col):
+        # epoch seconds as double; TIMESTAMP_NTZ has no direct double
+        # cast, so route via TIMESTAMP (identity under the session's
+        # UTC timezone; numeric inputs round-trip exactly at µs)
+        return col.cast("timestamp").cast("double")
+
+    lts = _epoch(F.col(ts_col))
+    l = left.withColumn("_bkt", F.floor((lts + lower) / width))
+    # right row at ts matches left rows with left.ts in
+    # [ts - upper, ts - lower] — an interval of length `width`, which
+    # spans at most two buckets of the left's shifted grid
+    rts = _epoch(F.col(ts_col))
+    r = right.select(
+        F.col(on), rts.alias("_rts"),
+        F.struct(*[F.col(c) for c in [ts_col] + right_cols]).alias("_r"),
+    )
+    # the two candidate buckets are floor(r/width)-1 and floor(r/width)
+    # — always distinct, so each true (l, r) pair joins exactly once
+    # (l lives in exactly one bucket) and no dedup pass is needed
+    r2 = r.select(
+        on, "_rts", "_r",
+        F.explode(F.array(
+            F.floor((F.col("_rts") - upper + lower) / width),
+            F.floor((F.col("_rts") - upper + lower) / width) + 1,
+        )).alias("_bkt"),
+    )
+    delta = F.col("_rts") - _epoch(F.col(ts_col))
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col(f"_r.{ts_col}").alias(f"{ts_col}{suffix}"))
+    out_cols.extend(F.col(f"_r.{c}").alias(f"{c}{suffix}")
+                    for c in right_cols)
+    return (
+        l.join(r2, [on, "_bkt"])
+        .where((delta >= lower) & (delta <= upper))
+        .select(*out_cols)
+    )

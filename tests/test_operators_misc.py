@@ -549,3 +549,44 @@ def test_asof_join_semantics(spark):
 
     # all left rows survive exactly once (left-outer cardinality)
     assert sorted(out) == [1, 2, 3, 4, 5]
+
+
+def test_range_join_buckets_and_bounds(spark):
+    """Bucketized interval join equals the naive theta join, including
+    boundary inclusivity and cross-bucket matches."""
+    from pyspark.sql import functions as F
+
+    from paperslicer_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100.0), (2, "u", 95.0), (3, "u", 50.0), (4, "v", 100.0)],
+        "event_id long, user string, ts double")
+    right = spark.createDataFrame(
+        [("u", 100.0, "exact"), ("u", 110.0, "in"), ("u", 160.0, "edge"),
+         ("u", 161.0, "out"), ("v", 99.0, "before")],
+        "user string, ts double, tag string")
+    got = {(r["event_id"], r["tag_right"])
+           for r in range_join(left, right, on="user", ts_col="ts",
+                               lower=0.0, upper=60.0).collect()}
+    # event 1 (ts 100): exact(Δ0), in(Δ10), edge(Δ60 inclusive); not out(Δ61)
+    # event 2 (ts 95): exact(Δ5), in(Δ15), edge(Δ65? no — 160-95=65>60)
+    # event 3 (ts 50): in(Δ60? 110-50=60 inclusive), exact(Δ50)
+    # event 4 (v, 100): 'before' is at 99 < 100 → Δ negative, excluded
+    assert got == {(1, "exact"), (1, "in"), (1, "edge"),
+                   (2, "exact"), (2, "in"),
+                   (3, "exact"), (3, "in")}
+
+    # differential vs the naive join on a bigger random-ish set
+    import itertools
+    rows_l = [(i, f"u{i % 7}", float((i * 37) % 500)) for i in range(120)]
+    rows_r = [(f"u{j % 7}", float((j * 53) % 500), f"t{j}")
+              for j in range(150)]
+    L = spark.createDataFrame(rows_l, "event_id long, user string, ts double")
+    R = spark.createDataFrame(rows_r, "user string, ts double, tag string")
+    fast = {(r["event_id"], r["tag_right"])
+            for r in range_join(L, R, on="user", ts_col="ts",
+                                lower=5.0, upper=42.0).collect()}
+    naive = {(i, t) for (i, u, lt), (ru, rt, t)
+             in itertools.product(rows_l, rows_r)
+             if u == ru and 5.0 <= rt - lt <= 42.0}
+    assert fast == naive and len(naive) > 50
