@@ -782,6 +782,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["x44_range_join"] = x44_range_join
 
+    def x45_sliding_rates(spark, sf):
+        # sliding-window rates: 4h windows sliding by 1h (Spark's
+        # native F.window slide path — each event lands in 4 windows
+        # map-side, then one partial-agg groupBy). Oracle mirrors the
+        # window-replication semantics with an UNNEST over the 4
+        # window starts. Epoch seconds for portability.
+        ev = _t(spark, sf, "events")
+        w = F.window(F.col("ts").cast("timestamp"), "4 hours", "1 hour")
+        return (
+            ev.groupBy(w.alias("w"), F.col("event_type"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .alias("sum_value_cents"))
+            .select(
+                F.unix_timestamp(F.col("w.start")).alias("win_start"),
+                "event_type", "n", "sum_value_cents")
+        )
+    q["x45_sliding_rates"] = x45_sliding_rates
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row (round-3 VERDICT: x30-x38 were judge-verified
@@ -794,7 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x36_quantize_embeddings", "x37_source_token_stats",
         "x38_distinctive_terms", "x39_decontaminate",
         "x40_paragraph_dedup", "x41_redact_pii", "x42_exact_k_sample",
-        "x43_asof_join", "x44_range_join",
+        "x43_asof_join", "x44_range_join", "x45_sliding_rates",
     ]
     q = {k: q[k] for k in _DRIVER_FIRST if k in q} | {
         k: v for k, v in q.items() if k not in _DRIVER_FIRST}
@@ -1550,6 +1569,21 @@ SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
 FROM clicks c JOIN errors e
   ON c.user_id = e.user_id
  AND epoch_us(e.ts) - epoch_us(c.ts) BETWEEN 0 AND 14400000000
+"""
+
+    # x45: Spark's sliding window = each event replicated into the
+    # windowDuration/slide = 4 hour-aligned windows covering it
+    o["x45_sliding_rates"] = """
+WITH e AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+         event_type, value
+  FROM events),
+ x AS (
+  SELECT h - 3600 * i AS win_start, event_type, value
+  FROM e, UNNEST(range(0, 4)) AS u(i))
+SELECT win_start, event_type, count(*) AS n,
+  CAST(sum(round(value * 100)) AS BIGINT) AS sum_value_cents
+FROM x GROUP BY 1, 2
 """
 
     o["x42_exact_k_sample"] = """
