@@ -590,3 +590,43 @@ def test_range_join_buckets_and_bounds(spark):
              in itertools.product(rows_l, rows_r)
              if u == ru and 5.0 <= rt - lt <= 42.0}
     assert fast == naive and len(naive) > 50
+
+
+def test_asof_join_differential_vs_pandas_merge_asof(spark):
+    """asof_join ≡ pandas.merge_asof(by=key, direction='backward') on
+    seeded random inputs with unique right (key, ts) — the reference
+    semantics for at-or-before matching."""
+    import random
+
+    import pandas as pd
+
+    from paperslicer_spark.operators.temporal import asof_join
+
+    rng = random.Random(1234)
+    keys = [f"k{i}" for i in range(6)]
+    lrows = [(i, rng.choice(keys), float(rng.randrange(0, 1000)))
+             for i in range(200)]
+    # unique (key, ts) on the right so merge_asof's tie choice is moot
+    seen = set()
+    rrows = []
+    for j in range(300):
+        k, t = rng.choice(keys), float(rng.randrange(0, 1000))
+        if (k, t) in seen:
+            continue
+        seen.add((k, t))
+        rrows.append((k, t, f"tag{j}"))
+    L = spark.createDataFrame(lrows, "event_id long, k string, ts double")
+    R = spark.createDataFrame(rrows, "k string, ts double, tag string")
+    got = {r["event_id"]: (r["ts_right"], r["tag_right"]) for r in
+           asof_join(L, R, on="k", ts_col="ts").collect()}
+
+    lp = pd.DataFrame(lrows, columns=["event_id", "k", "ts"]) \
+        .sort_values("ts", kind="stable")
+    rp = pd.DataFrame(rrows, columns=["k", "ts", "tag"]) \
+        .sort_values("ts", kind="stable")
+    ref = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward",
+                        suffixes=("", "_r"))
+    for _, row in ref.iterrows():
+        want_tag = None if pd.isna(row["tag"]) else row["tag"]
+        assert got[row["event_id"]][1] == want_tag, row["event_id"]
+    assert len(got) == len(lrows)
