@@ -23,6 +23,10 @@ Local smoke::
         --input /root/testdata/sf0.001/documents.parquet --output /tmp/cur
 
 Outputs under ``--output``:
+  scrubbed/        (--scrub-pii) docs with PII redacted + n_redacted;
+                   downstream stages read this text
+  decontaminated/  (--bench-input) keep-list of docs below the n-gram
+                   overlap threshold vs the held-out corpus
   quality/   per-doc Gopher stats + keep flag
   clusters/  (doc, cluster, is_rep) for docs in any near-dup component
   keep/      final curated keep-list (doc_id, lang, bucket)
@@ -65,6 +69,16 @@ def main() -> None:
     ap.add_argument("--chunk-overlap", type=int, default=8)
     ap.add_argument("--pack-capacity", type=int, default=512)
     ap.add_argument("--pack-shards", type=int, default=16)
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="redact emails/IPs/phones/digit runs BEFORE "
+                         "quality (scrubbed/ stage; downstream stages "
+                         "read the scrubbed text)")
+    ap.add_argument("--bench-input", default=None,
+                    help="held-out corpus parquet; when set, docs "
+                         "sharing >= --decontaminate-min-shared "
+                         "4-grams with any bench doc are dropped "
+                         "(decontaminated/ stage keep-list)")
+    ap.add_argument("--decontaminate-min-shared", type=int, default=2)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -72,7 +86,7 @@ def main() -> None:
     from paperslicer_spark.operators.curation import (
         chunk_documents, gopher_quality, pack_sequences,
         stratified_sample)
-    from paperslicer_spark.operators.dedup import dup_clusters
+    from paperslicer_spark.operators.dedup import decontaminate, dup_clusters
     from paperslicer_spark.session import get_spark
 
     rates = {k: float(v) for k, v in
@@ -85,6 +99,45 @@ def main() -> None:
     ch_dir = os.path.join(out, "chunks")
 
     ran, skipped = [], []
+
+    if args.scrub_pii:
+        # stage 0a: PII scrub — rewrites the text column in place so
+        # every later stage (quality, shingles, chunks) sees clean text
+        from paperslicer_spark.functions.pii import redact_pii
+
+        s_dir = os.path.join(out, "scrubbed")
+        if _done(spark, s_dir):
+            skipped.append("scrub")
+        else:
+            scrubbed = redact_pii(docs, args.id_col, args.text_col)
+            (docs.drop(args.text_col)
+             .join(scrubbed.select(
+                 args.id_col,
+                 F.col("clean_text").alias(args.text_col),
+                 "n_redacted"), args.id_col)
+             .write.mode("overwrite").parquet(s_dir))
+            ran.append("scrub")
+        docs = spark.read.parquet(s_dir)
+
+    if args.bench_input:
+        # stage 0b: benchmark decontamination — a keep-list of docs
+        # with fewer than min_shared 4-gram overlaps with the held-out
+        # corpus; contaminated docs leave the funnel here
+        d_dir = os.path.join(out, "decontaminated")
+        if _done(spark, d_dir):
+            skipped.append("decontaminate")
+        else:
+            bench = spark.read.parquet(args.bench_input)
+            hits = decontaminate(
+                docs, bench, args.id_col, args.text_col, n=4,
+                min_shared=args.decontaminate_min_shared,
+            ).select(F.col("train_doc").alias(args.id_col)).distinct()
+            (docs.select(args.id_col)
+             .join(hits, args.id_col, "left_anti")
+             .write.mode("overwrite").parquet(d_dir))
+            ran.append("decontaminate")
+        docs = docs.join(spark.read.parquet(d_dir), args.id_col,
+                         "left_semi")
     for name, path, build in (
         ("quality", q_dir,
          lambda: gopher_quality(docs, args.id_col, args.text_col)),

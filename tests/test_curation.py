@@ -521,3 +521,33 @@ def test_exact_k_sample_counts_and_nesting(spark):
     small = exact_k_sample(df.where("lang = 'de'"), "doc_id", "lang",
                            k=1000).count()
     assert small == 100
+
+
+def test_run_curate_scrub_and_decontaminate_stages(tmp_path):
+    """Optional stage 0a/0b: PII scrub rewrites the funnel's text;
+    decontamination drops overlapping docs; both resume."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    out = tmp_path / "cur"
+    cmd = [sys.executable, "scripts/run_curate.py",
+           "--input", "/root/testdata/sf0.001/documents.parquet",
+           "--output", str(out), "--scrub-pii",
+           "--bench-input", "/root/testdata/sf0.01/documents.parquet"]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    line1 = [ln for ln in r1.stdout.splitlines() if "curation:" in ln][-1]
+    assert "'ran': ['scrub', 'decontaminate', 'quality'" in line1
+    assert (out / "scrubbed" / "_SUCCESS").exists()
+    assert (out / "decontaminated" / "_SUCCESS").exists()
+    # decontamination actually dropped overlapping docs
+    n_in = 500
+    n_dec = duckdb.sql(
+        f"select count(*) n from '{out}/decontaminated/*.parquet'"
+    ).df()["n"][0]
+    assert 0 < n_dec < n_in
+    r2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    line2 = [ln for ln in r2.stdout.splitlines() if "curation:" in ln][-1]
+    assert "'ran': []" in line2 and "'skipped': ['scrub', 'decontaminate'" in line2
