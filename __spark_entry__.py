@@ -801,6 +801,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["x45_sliding_rates"] = x45_sliding_rates
 
+    def x46_token_budget_cut(spark, sf):
+        # training-set assembly: docs in seeded-hash order until the
+        # global running token total hits the budget — distributed
+        # two-phase prefix sum (range buckets on the hash's top bits,
+        # tiny per-bucket offset relation broadcast back)
+        from paperslicer_spark.operators.curation import token_budget_cut
+        docs = _t(spark, sf, "documents")
+        return token_budget_cut(
+            docs, "doc_id", TS.word_count(F.col("text")), budget=5000
+        ).select("doc_id", "cum_tokens")
+    q["x46_token_budget_cut"] = x46_token_budget_cut
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row (round-3 VERDICT: x30-x38 were judge-verified
@@ -814,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x38_distinctive_terms", "x39_decontaminate",
         "x40_paragraph_dedup", "x41_redact_pii", "x42_exact_k_sample",
         "x43_asof_join", "x44_range_join", "x45_sliding_rates",
+        "x46_token_budget_cut",
     ]
     q = {k: q[k] for k in _DRIVER_FIRST if k in q} | {
         k: v for k, v in q.items() if k not in _DRIVER_FIRST}
@@ -1584,6 +1597,21 @@ WITH e AS (
 SELECT win_start, event_type, count(*) AS n,
   CAST(sum(round(value * 100)) AS BIGINT) AS sum_value_cents
 FROM x GROUP BY 1, 2
+"""
+
+    # x46: one global window cumsum in SQL (the oracle corpus is
+    # small); same 60-bit salted hash order, boundary doc included
+    # only if it does not cross the budget
+    o["x46_token_budget_cut"] = f"""
+SELECT doc_id, cum_tokens FROM (
+  SELECT doc_id,
+    CAST(sum(wc) OVER (ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
+  FROM (
+    SELECT doc_id, {_WORDS_EXPR} AS wc,
+      CAST('0x' || substr(md5('budget:' || CAST(doc_id AS VARCHAR)),
+           1, 15) AS BIGINT) AS h
+    FROM documents))
+WHERE cum_tokens <= 5000
 """
 
     o["x42_exact_k_sample"] = """

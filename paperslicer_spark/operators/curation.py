@@ -401,3 +401,53 @@ def exact_k_sample(df: DataFrame, key_col: str, strata_col: str,
                       F.row_number().over(w).cast("bigint"))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def token_budget_cut(df: DataFrame, id_col: str, token_expr,
+                     budget: int, n_buckets: int = 1024,
+                     salt: str = "budget:") -> DataFrame:
+    """Training-set assembly: take documents in deterministic seeded-
+    hash order until the GLOBAL running token total reaches ``budget``
+    ("give me exactly ~10B tokens of this corpus"). Returns the kept
+    rows plus ``cum_tokens`` (running total INCLUDING the row), so the
+    boundary doc is the first to cross the budget and nested budgets
+    are prefixes of each other — same run/retry/cluster-size
+    determinism as the other hash-ordered samplers.
+
+    A global cumulative sum is the textbook two-phase distributed
+    prefix sum — a naive ``Window.orderBy(h)`` is ONE partition doing
+    all the work. Here: (1) bucket rows by the TOP bits of the 60-bit
+    order hash (range bucketing, so bucket order == hash order);
+    (2) per-bucket token totals — a tiny ``n_buckets``-row aggregate —
+    prefix-summed with one window over that tiny relation and
+    broadcast back; (3) the intra-bucket running sum is a window per
+    bucket, offset by its bucket's prefix. No stage touches more than
+    |rows|/n_buckets rows per task; the only serial work is the
+    n_buckets-row prefix.
+    """
+    from pyspark.sql import Window
+
+    h = md5_bigint(F.col(id_col).cast("string"), salt=salt)
+    # top 60-bit hash bits → range bucket (bucket order == hash order)
+    rows = df.withColumn("_h", h).withColumn(
+        "_b", F.floor(F.col("_h") / F.lit((1 << 60) // n_buckets)))
+    rows = rows.withColumn("_wc", token_expr.cast("bigint"))
+    per_bucket = rows.groupBy("_b").agg(F.sum("_wc").alias("_bt"))
+    offsets = per_bucket.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_bt").over(
+                Window.orderBy("_b")
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("bigint"),
+    ).select("_b", "_off")
+    wb = (Window.partitionBy("_b").orderBy("_h", id_col)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        rows.join(F.broadcast(offsets), "_b")
+        .withColumn("cum_tokens",
+                    (F.col("_off") + F.sum("_wc").over(wb)).cast("bigint"))
+        .where(F.col("cum_tokens") <= budget)
+        .drop("_h", "_b", "_wc", "_off")
+    )
