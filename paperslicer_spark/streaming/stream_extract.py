@@ -61,3 +61,29 @@ def streaming_dedup(turns: DataFrame, watermark: str = "10 minutes") -> DataFram
         .dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "_fp"])
         .drop("_fp")
     )
+
+
+def streaming_session_stats(turns: DataFrame,
+                            watermark: str = "10 minutes",
+                            gap: str = "5 minutes") -> DataFrame:
+    """Event-time session windows per conversation: a session extends
+    while consecutive turns arrive within ``gap`` of each other and
+    closes once the watermark passes the last turn + gap.
+
+    ``F.session_window`` is the built-in dynamic-gap session operator
+    (state = one open window per active key, merged on overlap) — the
+    declarative twin of the gaps-and-islands batch sessionization
+    (q16) and a different state class from the custom
+    ``applyInPandasWithState`` assembler: Spark manages merge/expiry
+    from the watermark, no user state schema at all. Append mode emits
+    each session exactly once, when it closes.
+    """
+    return (
+        turns.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "conv_id")
+        .agg(F.count("*").alias("n_turns"),
+             F.sum(F.length(F.coalesce("text", F.lit("")))).alias("n_chars"))
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "conv_id", "n_turns", "n_chars")
+    )

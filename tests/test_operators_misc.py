@@ -630,3 +630,76 @@ def test_asof_join_differential_vs_pandas_merge_asof(spark):
         want_tag = None if pd.isna(row["tag"]) else row["tag"]
         assert got[row["event_id"]][1] == want_tag, row["event_id"]
     assert len(got) == len(lrows)
+
+
+def test_streaming_session_window_stats(spark, tmp_path):
+    """session_window sessions close by watermark and match the batch
+    gaps-and-islands sessionization on the same data."""
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from paperslicer_spark.streaming.stream_extract import (
+        stream_turns, streaming_session_stats)
+
+    src = tmp_path / "turns"
+    src.mkdir()
+    base = "2024-01-01 10:{m:02d}:00"
+    rows = []
+    # conv A: two sessions (gap > 5 min between minute 10 and 30)
+    for m, txt in ((0, "a1"), (2, "a2"), (10, "a3"), (30, "a4"), (31, "a5")):
+        rows.append(("A", m, "user", txt, "t", base.format(m=m)))
+    # conv B: one session
+    for m, txt in ((5, "b1"), (8, "b2")):
+        rows.append(("B", m, "user", txt, "t", base.format(m=m)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts_s string") \
+        .select("conv_id", "turn_idx", "role", "text", "tool",
+                F.col("ts_s").cast("timestamp").alias("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    # a late watermark-advancing batch so every session closes
+    spark.createDataFrame(
+        [("Z", 0, "user", "zz", "t", "2024-01-01 12:00:00")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts_s string") \
+        .select("conv_id", "turn_idx", "role", "text", "tool",
+                F.col("ts_s").cast("timestamp").alias("ts")) \
+        .coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+
+    stream = stream_turns(spark, str(src) + "/*")
+    q = (streaming_session_stats(stream).writeStream.format("memory")
+         .queryName("sess").outputMode("append").start())
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {(r["conv_id"], str(r["session_start"])[11:16],
+                    r["n_turns"], r["n_chars"])
+                   for r in spark.sql("select * from sess").collect()}
+            if len(got) >= 4:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    # sessions: A {10:00,10:02}, A {10:10} (8-min gap), A {10:30,10:31};
+    # B {10:05,10:08}; each closed by the 12:00 watermark-advancer
+    want = {("A", "10:00", 2, 4), ("A", "10:10", 1, 2),
+            ("A", "10:30", 2, 4), ("B", "10:05", 2, 4)}
+    assert want <= got
+
+    # batch parity: gaps-and-islands over the same rows yields the
+    # same (conv, first-ts, count, chars) sessions
+    w = Window.partitionBy("conv_id").orderBy("ts")
+    gap_flag = (F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w)) > 300)
+    batch = (df.withColumn("_new", F.coalesce(gap_flag.cast("int"), F.lit(1)))
+             .withColumn("_sid", F.sum("_new").over(
+                 w.rowsBetween(Window.unboundedPreceding, 0)))
+             .groupBy("conv_id", "_sid")
+             .agg(F.min("ts").alias("t0"), F.count("*").alias("n"),
+                  F.sum(F.length("text")).alias("c")))
+    ref = {(r["conv_id"], str(r["t0"])[11:16], r["n"], r["c"])
+           for r in batch.collect()}
+    assert ref == want
