@@ -832,6 +832,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["x47_rollup_acctbal"] = x47_rollup_acctbal
 
+    def x48_temperature_mix(spark, sf):
+        # mT5-style alpha-temperature mixture over (source) strata:
+        # data-derived per-stratum rates + seeded-hash keep rule
+        from paperslicer_spark.operators.curation import temperature_mix
+        docs = _t(spark, sf, "documents")
+        return temperature_mix(docs, "doc_id", "source", alpha=0.5,
+                               target_rows=200) \
+            .select("doc_id", "source", "mix_rate_bucket")
+    q["x48_temperature_mix"] = x48_temperature_mix
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row (round-3 VERDICT: x30-x38 were judge-verified
@@ -846,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x40_paragraph_dedup", "x41_redact_pii", "x42_exact_k_sample",
         "x43_asof_join", "x44_range_join", "x45_sliding_rates",
         "x46_token_budget_cut", "x47_rollup_acctbal",
+        "x48_temperature_mix",
     ]
     q = {k: q[k] for k in _DRIVER_FIRST if k in q} | {
         k: v for k, v in q.items() if k not in _DRIVER_FIRST}
@@ -1644,6 +1655,24 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+"""
+
+    # x48: identical rate derivation (pow/least/round in IEEE double)
+    # and the same salted-hash bucket rule
+    o["x48_temperature_mix"] = """
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source),
+ tw AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.5)) AS t FROM counts),
+ rates AS (
+  SELECT source,
+    CAST(round(10000 * least(1.0,
+      200.0 * pow(CAST(n AS DOUBLE), 0.5) / t / n)) AS BIGINT)
+      AS mix_rate_bucket
+  FROM counts, tw)
+SELECT d.doc_id, d.source, r.mix_rate_bucket
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+      1, 15) AS BIGINT) % 10000 < r.mix_rate_bucket
 """
 
     o["x42_exact_k_sample"] = """

@@ -451,3 +451,56 @@ def token_budget_cut(df: DataFrame, id_col: str, token_expr,
         .where(F.col("cum_tokens") <= budget)
         .drop("_h", "_b", "_wc", "_off")
     )
+
+
+def temperature_mix(df: DataFrame, key_col: str, strata_col: str,
+                    alpha: float = 0.5, target_rows: int = 1000,
+                    denom: int = 10_000,
+                    salt: str = "mix:") -> DataFrame:
+    """Temperature-scaled mixture sampling (the mT5/XLM-R recipe):
+    stratum ``s`` gets sampling weight ``n_s^alpha / sum(n^alpha)`` —
+    ``alpha < 1`` up-weights small strata (low-resource languages,
+    rare sources) relative to proportional sampling — and rows are
+    kept by the same seeded-hash bucket rule as
+    :func:`stratified_sample`, with the per-stratum rate derived FROM
+    THE DATA as ``min(1, target_rows * w_s / n_s)``.
+
+    Deterministic end to end: the rates come from exact counts and the
+    keep decision from the content hash, so the same mix re-emerges on
+    every run, retry, and cluster size. Adds ``mix_rate_bucket`` (the
+    integer threshold used) for audit.
+
+    Plan: one tiny per-stratum count aggregate → rates computed on
+    that |strata|-row relation → broadcast join back → map-side hash
+    filter. The corpus-sized relation is touched exactly once, no
+    wide shuffle.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    total_w = counts.agg(
+        F.sum(F.pow(F.col("_n").cast("double"), F.lit(alpha)))
+        .alias("_tw"))
+    rates = (
+        counts.crossJoin(F.broadcast(total_w))
+        .withColumn(
+            "_thresh",
+            F.round(
+                F.lit(denom) * F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_rows))
+                    * F.pow(F.col("_n").cast("double"), F.lit(alpha))
+                    / F.col("_tw") / F.col("_n"),
+                )
+            ).cast("bigint"),
+        )
+        .select(strata_col, "_thresh")
+    )
+    bucket = F.pmod(
+        md5_bigint(F.col(key_col).cast("string"), salt=salt),
+        F.lit(denom))
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .withColumn("_bkt", bucket)
+        .where(F.col("_bkt") < F.col("_thresh"))
+        .withColumn("mix_rate_bucket", F.col("_thresh"))
+        .drop("_thresh", "_bkt")
+    )

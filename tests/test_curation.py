@@ -587,3 +587,38 @@ def test_token_budget_cut_prefix_and_determinism(spark):
              token_budget_cut(df, "doc_id", F.col("wc"),
                               budget=900, n_buckets=8).collect()}
     assert small <= {d for d, _ in got}
+
+
+def test_temperature_mix_upweights_small_strata(spark):
+    from pyspark.sql import functions as F
+
+    from paperslicer_spark.operators.curation import temperature_mix
+
+    # 2000 'big' rows vs 100 'small' rows; alpha=0.5 should give the
+    # small stratum a much higher keep RATE than proportional
+    rows = [(i, "big") for i in range(2000)] + \
+           [(10_000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = temperature_mix(df, "doc_id", "src", alpha=0.5,
+                          target_rows=300)
+    kept = {r["src"]: r["n"] for r in
+            out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # weights: sqrt(2000)=44.7, sqrt(100)=10 → w_small ≈ 0.183;
+    # expected small ≈ 300*0.183 ≈ 55 of 100 (rate ~0.55), big rate
+    # ~0.12 — small stratum keeps a 4-5x higher fraction
+    assert 35 <= kept["small"] <= 75
+    assert 180 <= kept["big"] <= 310
+    assert kept["small"] / 100 > 3 * kept["big"] / 2000
+    # deterministic
+    again = sorted(r["doc_id"] for r in out.collect())
+    assert again == sorted(r["doc_id"] for r in
+                           temperature_mix(df, "doc_id", "src",
+                                           alpha=0.5,
+                                           target_rows=300).collect())
+    # alpha=1 reduces to proportional rates (same threshold per
+    # stratum: round(denom * target/total))
+    prop = temperature_mix(df, "doc_id", "src", alpha=1.0,
+                           target_rows=300)
+    th = {r["src"]: r["mix_rate_bucket"] for r in
+          prop.select("src", "mix_rate_bucket").distinct().collect()}
+    assert th["big"] == th["small"] == round(10000 * 300 / 2100)
