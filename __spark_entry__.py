@@ -842,6 +842,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "source", "mix_rate_bucket")
     q["x48_temperature_mix"] = x48_temperature_mix
 
+    def x49_clean_unicode(spark, sf):
+        # ftfy-lite unicode hygiene over deterministically injected
+        # mojibake/controls (the x34/x41 synthesize-then-operate
+        # pattern); both engines share MOJIBAKE_FIXES + the two
+        # character-class patterns verbatim
+        from paperslicer_spark.functions.pii import (MOJIBAKE_FIXES,
+                                                     clean_unicode)
+        docs = _t(spark, sf, "documents")
+        inject = (" caf" + MOJIBAKE_FIXES[0][0] + "\u00a0plus"
+                  + "\u200b" + MOJIBAKE_FIXES[5][0] + "s\u0001end")
+        seeded = docs.select(
+            "doc_id", F.concat(F.col("text"), F.lit(inject)).alias("text"))
+        return clean_unicode(seeded, "doc_id", "text")
+    q["x49_clean_unicode"] = x49_clean_unicode
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row (round-3 VERDICT: x30-x38 were judge-verified
@@ -856,7 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x40_paragraph_dedup", "x41_redact_pii", "x42_exact_k_sample",
         "x43_asof_join", "x44_range_join", "x45_sliding_rates",
         "x46_token_budget_cut", "x47_rollup_acctbal",
-        "x48_temperature_mix",
+        "x48_temperature_mix", "x49_clean_unicode",
     ]
     q = {k: q[k] for k in _DRIVER_FIRST if k in q} | {
         k: v for k, v in q.items() if k not in _DRIVER_FIRST}
@@ -1674,6 +1689,55 @@ FROM documents d JOIN rates r ON d.source = r.source
 WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
       1, 15) AS BIGINT) % 10000 < r.mix_rate_bucket
 """
+
+    # x49: generated from the SAME constants as clean_unicode — the
+    # literal digraph fixes, drop-class and space-class patterns
+    from paperslicer_spark.functions.pii import (CLEAN_DROP_PATTERN,
+                                                 CLEAN_SPACE_PATTERN,
+                                                 MOJIBAKE_FIXES as _MJ)
+
+    def _sqlstr(txt: str) -> str:
+        # DuckDB literal with every non-printable spliced as chr(n)
+        # (control chars inside a quoted literal break the parser)
+        parts, buf = [], ""
+        for ch in txt:
+            if 32 <= ord(ch) < 127 or 0xA1 <= ord(ch) <= 0x2FFF \
+                    and ch.isprintable():
+                buf += ch * 2 if ch == "'" else ch
+            else:
+                if buf:
+                    parts.append(f"'{buf}'")
+                    buf = ""
+                parts.append(f"chr({ord(ch)})")
+        if buf:
+            parts.append(f"'{buf}'")
+        return " || ".join(parts) if parts else "''"
+
+    _u_inj_py = (" caf" + _MJ[0][0] + "\u00a0plus\u200b" + _MJ[5][0]
+                 + "s\u0001end")
+    _u_ctes = [f"c0 AS (SELECT doc_id, text || {_sqlstr(_u_inj_py)} "
+               "AS t FROM documents)"]
+    for _i, (_bad, _good) in enumerate(_MJ, start=1):
+        _carry = "".join(f", m{_j}" for _j in range(1, _i))
+        _u_ctes.append(
+            f"c{_i} AS (SELECT doc_id, "
+            f"replace(t, {_sqlstr(_bad)}, {_sqlstr(_good)}) AS t, "
+            f"CAST(length(t) - length(replace(t, {_sqlstr(_bad)}, '')) "
+            f"AS DOUBLE) / {len(_bad)} AS m{_i}{_carry} "
+            f"FROM c{_i - 1})")
+    _u_moji = " + ".join(f"m{_j}" for _j in range(1, len(_MJ) + 1))
+    o["x49_clean_unicode"] = (
+        "WITH " + ",\n ".join(_u_ctes) + f"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(t, '{CLEAN_DROP_PATTERN}', '', 'g'),
+                 '{CLEAN_SPACE_PATTERN}', ' ', 'g') AS clean_text,
+  CAST(round({_u_moji}
+    + (length(t) - length(regexp_replace(t, '{CLEAN_DROP_PATTERN}',
+                                         '', 'g')))
+    + len(regexp_extract_all(t, '{CLEAN_SPACE_PATTERN}'))) AS BIGINT)
+    AS n_fixed
+FROM c{len(_MJ)}
+""")
 
     o["x42_exact_k_sample"] = """
 SELECT doc_id, source, sample_rank FROM (

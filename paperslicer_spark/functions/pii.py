@@ -57,3 +57,59 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         c = F.col(f"n_{kind}")
         total = c if total is None else total + c
     return out.withColumn("n_redacted", total)
+
+
+# ---------------------------------------------------------------------------
+# Unicode hygiene (ftfy-lite): the cheap normalization tier every text
+# pipeline runs before tokenization. RE2-safe patterns + literal
+# digraph fixes shared verbatim with the DuckDB oracle generator.
+# All constants are spelled with \\u escapes so the source stays ASCII.
+# ---------------------------------------------------------------------------
+
+# common UTF-8-decoded-as-Latin-1 mojibake sequences (literal
+# replaces, most specific first)
+MOJIBAKE_FIXES: list[tuple[str, str]] = [
+    ("\u00c3\u00a9", "\u00e9"),            # A-tilde + (c) -> e-acute
+    ("\u00c3\u00a8", "\u00e8"),            # -> e-grave
+    ("\u00c3\u00a4", "\u00e4"),            # -> a-umlaut
+    ("\u00c3\u00b6", "\u00f6"),            # -> o-umlaut
+    ("\u00c3\u00bc", "\u00fc"),            # -> u-umlaut
+    ("\u00e2\u0080\u0099", "'"),           # curly apostrophe mojibake
+    ("\u00e2\u0080\u0093", "-"),           # en-dash mojibake
+]
+
+# dropped outright: C0 controls (not \t \n \r), DEL+C1 range,
+# replacement char, zero-widths, BOM
+CLEAN_DROP_PATTERN = ("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f"
+                      "\u007f-\u009f\ufffd\u200b-\u200d\ufeff]")
+# mapped to a plain space: NBSP + the unicode space family
+CLEAN_SPACE_PATTERN = "[\u00a0\u2000-\u200a\u202f\u3000]"
+
+
+def clean_unicode(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """ftfy-lite text hygiene: fix common mojibake digraphs, drop
+    control/replacement/zero-width characters, normalize exotic spaces
+    to ASCII space. Returns ``(id, clean_text, n_fixed)`` where
+    ``n_fixed`` counts fixed mojibake sequences + dropped chars +
+    normalized spaces, for audit.
+
+    Zero-shuffle codegen map like :func:`redact_pii`; the constants
+    above are shared verbatim with the x49 oracle generator.
+    """
+    cur = F.col(text_col)
+    n_moji = F.lit(0).cast("double")
+    for bad, good in MOJIBAKE_FIXES:
+        cnt = (F.length(cur)
+               - F.length(F.replace(cur, F.lit(bad), F.lit("")))) \
+            / F.lit(len(bad))
+        n_moji = n_moji + cnt
+        cur = F.replace(cur, F.lit(bad), F.lit(good))
+    n_drop = F.length(cur) - F.length(
+        F.regexp_replace(cur, CLEAN_DROP_PATTERN, ""))
+    n_space = F.regexp_count(cur, F.lit(CLEAN_SPACE_PATTERN))
+    cur = F.regexp_replace(cur, CLEAN_DROP_PATTERN, "")
+    cur = F.regexp_replace(cur, CLEAN_SPACE_PATTERN, " ")
+    return df.select(
+        F.col(id_col), cur.alias("clean_text"),
+        F.round(n_moji + n_drop + n_space).cast("bigint")
+        .alias("n_fixed"))

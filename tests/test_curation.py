@@ -622,3 +622,28 @@ def test_temperature_mix_upweights_small_strata(spark):
     th = {r["src"]: r["mix_rate_bucket"] for r in
           prop.select("src", "mix_rate_bucket").distinct().collect()}
     assert th["big"] == th["small"] == round(10000 * 300 / 2100)
+
+
+def test_clean_unicode_fixes(spark):
+    from paperslicer_spark.functions.pii import (MOJIBAKE_FIXES,
+                                                 clean_unicode)
+
+    moji_e = MOJIBAKE_FIXES[0][0]       # latin-1 mojibake of e-acute
+    moji_ap = MOJIBAKE_FIXES[5][0]      # mojibake curly apostrophe
+    rows = [
+        (1, "caf" + moji_e + " time"),
+        (2, "a\u0001b\ufffdc\u200bd"),          # controls dropped
+        (3, "x\u00a0y\u2003z"),                  # exotic spaces
+        (4, "it" + moji_ap + "s fine"),
+        (5, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           clean_unicode(df, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == "caf\u00e9 time"
+    assert out[1]["n_fixed"] == 1
+    assert out[2]["clean_text"] == "abcd" and out[2]["n_fixed"] == 3
+    assert out[3]["clean_text"] == "x y z" and out[3]["n_fixed"] == 2
+    assert out[4]["clean_text"] == "it's fine" and out[4]["n_fixed"] == 1
+    assert out[5]["clean_text"] == "plain ascii"
+    assert out[5]["n_fixed"] == 0
