@@ -96,6 +96,38 @@ def worker(cores: int) -> None:
         return best
 
     out = {"cores": cores, "n_docs": n_docs}
+    if "pdedup" in JOBS:
+        # round-4 op: corpus-wide paragraph dedup over 8-token-window
+        # paragraphs synthesized from the text (the x40 shape)
+        from pyspark.sql import functions as F
+
+        from paperslicer_spark.functions.text_stats import bind
+        from paperslicer_spark.operators.curation import paragraph_dedup
+
+        paras = bind(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda t: F.transform(
+                F.sequence(F.lit(0), F.size(t) - 1, F.lit(8)),
+                lambda st: F.array_join(F.slice(t, st + 1, 8), " ")))
+        withp = docs.select(
+            "doc_id", F.array_join(paras, "\n\n").alias("text"))
+        sec = best_of(lambda: force(
+            paragraph_dedup(withp, "doc_id", "text")))
+        out["pdedup_sec"] = round(sec, 3)
+        out["pdedup_docs_per_sec"] = round(n_docs / sec, 1)
+    if "decon" in JOBS:
+        # round-4 op: decontamination vs a 1/16 held-out slice
+        from pyspark.sql import functions as F
+
+        from paperslicer_spark.operators.dedup import decontaminate
+
+        bench = docs.where(F.col("doc_id") % 16 == 0)
+        train = docs.where(F.col("doc_id") % 16 != 0)
+        sec = best_of(lambda: force(
+            decontaminate(train, bench, "doc_id", "text", n=4,
+                          max_doc_freq=200)))
+        out["decon_sec"] = round(sec, 3)
+        out["decon_docs_per_sec"] = round(n_docs / sec, 1)
     if "quality" in JOBS:
         sec = best_of(lambda: force(gopher_quality(docs, "doc_id", "text")))
         out["quality_sec"] = round(sec, 3)
@@ -133,7 +165,8 @@ def orchestrate() -> None:
     lo, hi = CORES[0], CORES[-1]
     ratio = hi / lo
     summary = {"cores": CORES, "ratio": ratio}
-    for job in [j for j in ("quality", "lsh_pairs", "cluster") if j in JOBS]:
+    for job in [j for j in ("quality", "lsh_pairs", "cluster",
+                            "pdedup", "decon") if j in JOBS]:
         t_lo = results[lo][f"{job}_sec"]
         t_hi = results[hi][f"{job}_sec"]
         summary[f"{job}_efficiency"] = round((t_lo / t_hi) / ratio, 3)
