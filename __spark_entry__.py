@@ -857,6 +857,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return clean_unicode(seeded, "doc_id", "text")
     q["x49_clean_unicode"] = x49_clean_unicode
 
+    def x50_event_pivot(spark, sf):
+        # pivot (long -> wide): per-user event-type counts + spend.
+        # Explicit pivot values keep the plan a single pass (no extra
+        # distinct-values job) and the output schema static — the only
+        # pivot form that is sane at 10^12 rows.
+        ev = _t(spark, sf, "events")
+        kinds = ["click", "view", "purchase", "signup", "error"]
+        return (
+            ev.groupBy("user_id")
+            .pivot("event_type", kinds)
+            .agg(F.count(F.lit(1)))
+            .select("user_id",
+                    *[F.coalesce(F.col(k), F.lit(0)).cast("bigint")
+                      .alias(f"n_{k}") for k in kinds])
+        )
+    q["x50_event_pivot"] = x50_event_pivot
+
+    def x51_winsorize(spark, sf):
+        # winsorization: clip event values to the GLOBAL exact
+        # [p05, p95] — computed by the spillable exact_percentiles
+        # (x37's operator, reused with a constant group) and broadcast
+        # back; one corpus pass + a 1-row join
+        ev = _t(spark, sf, "events").withColumn("_g", F.lit(1))
+        pct = MX.exact_percentiles(
+            ev, "_g", F.col("value"), {"p05": 0.05, "p95": 0.95})
+        return (
+            ev.join(F.broadcast(pct), "_g")
+            .select(
+                "event_id", "value",
+                F.round(F.least(F.greatest(F.col("value"), F.col("p05")),
+                                F.col("p95")), 6).alias("clipped"),
+                (F.col("value") < F.col("p05")).alias("was_low"),
+                (F.col("value") > F.col("p95")).alias("was_high"),
+            )
+        )
+    q["x51_winsorize"] = x51_winsorize
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row (round-3 VERDICT: x30-x38 were judge-verified
@@ -872,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x43_asof_join", "x44_range_join", "x45_sliding_rates",
         "x46_token_budget_cut", "x47_rollup_acctbal",
         "x48_temperature_mix", "x49_clean_unicode",
+        "x50_event_pivot", "x51_winsorize",
     ]
     q = {k: q[k] for k in _DRIVER_FIRST if k in q} | {
         k: v for k, v in q.items() if k not in _DRIVER_FIRST}
@@ -1738,6 +1776,29 @@ SELECT doc_id,
     AS n_fixed
 FROM c{len(_MJ)}
 """)
+
+    # x50: pivot as conditional aggregation (identical semantics)
+    o["x50_event_pivot"] = """
+SELECT user_id,
+  count(*) FILTER (event_type = 'click') AS n_click,
+  count(*) FILTER (event_type = 'view') AS n_view,
+  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+  count(*) FILTER (event_type = 'signup') AS n_signup,
+  count(*) FILTER (event_type = 'error') AS n_error
+FROM events GROUP BY user_id
+"""
+
+    # x51: same R-7 interpolation (quantile_cont), same 6dp clip
+    o["x51_winsorize"] = """
+WITH p AS (
+  SELECT quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events)
+SELECT event_id, value,
+  round(least(greatest(value, p05), p95), 6) AS clipped,
+  value < p05 AS was_low, value > p95 AS was_high
+FROM events, p
+"""
 
     o["x42_exact_k_sample"] = """
 SELECT doc_id, source, sample_rank FROM (
