@@ -644,8 +644,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["x35_pack_sequences"] = x35_pack_sequences
 
     def x36_quantize_embeddings(spark, sf):
-        # int8 scalar quantization + dequantized-cosine fidelity
-        return SIM.quantize_embeddings(_t(spark, sf, "embeddings"))
+        # int8 scalar quantization + dequantized-cosine fidelity.
+        # qvec goes out as a canonical CSV string: the driver's
+        # canonicalizer pandas-sorts every column and array cells
+        # raise `unhashable type: 'list'` (the x03/x11 round-1
+        # precedent; x36 was the round-4 red row for exactly this).
+        return SIM.quantize_embeddings(_t(spark, sf, "embeddings")) \
+            .withColumn("qvec", F.array_join(F.col("qvec").cast(
+                "array<string>"), ","))
     q["x36_quantize_embeddings"] = x36_quantize_embeddings
 
     def x37_source_token_stats(spark, sf):
@@ -896,23 +902,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
-    # recorded green row (round-3 VERDICT: x30-x38 were judge-verified
-    # only).  Rotate the registry so the queries with the fewest
-    # driver-green artifacts come first; everything still runs in
-    # pytest + scripts/check_oracles.py regardless of order.
-    _DRIVER_FIRST = [
-        "x30_frame_sample", "x31_audio_features", "x32_simhash_pairs",
+    # recorded green row.  Rotation policy (round-4 VERDICT item #3):
+    # cycle the LEAST-recently-driver-verified queries to the front
+    # each round, so every operator stays within ~one round of an
+    # official green row.  _LAST_GREEN records the last round whose
+    # CORRECTNESS_r{N}.json shows a green row per query; queries absent
+    # from the map (new this round, or red last round) sort first.
+    # Everything still runs in pytest + scripts/check_oracles.py
+    # regardless of order.
+    _LAST_GREEN = {}
+    _LAST_GREEN.update({k: 3 for k in [  # r03 window (rotated out in r4)
+        "x08_simhash", "x09_minhash_lsh_pairs", "x10_head_frequencies",
+        "x11_multimodal_features", "x12_rolling_fingerprint",
+        "x13_token_bpe", "x14_streaming_rates", "x15_ivf_topk",
+        "x16_sections_direct", "x17_truth_validation",
+        "x18_mapping_suggestions", "x19_pixel_filters",
+        "x20_cosine_dup_pairs", "x21_cosine_dup_pairs_lsh",
+        "x22_sections_fused", "x23_langid_ngram", "x24_per_doc_metrics",
+        "x25_suggestions_loop", "x26_dup_clusters",
+        "x27_gopher_quality", "x28_stratified_sample",
+        "x29_curated_keep"]})
+    _LAST_GREEN.update({k: 4 for k in [  # r04 window greens
+        "q01_pricing_summary", "q02_top_orders_per_customer",
+        "q03_first_wins_orders", "q04_region_rollup",
+        "q05_priority_concat", "q06_exact_dup_docs", "q07_text_stats",
+        "q08_quality", "q09_lang_rates", "q10_minhash",
+        "q11_jaccard_pairs", "q12_embedding_topk", "q13_lsh_buckets",
+        "q14_event_type_counts", "q15_events_hourly", "q16_sessionize",
+        "q17_unordered_parts", "q18_segment_top_customers",
+        "q19_canonical_headings", "q20_doc_gates",
+        "q21_source_doc_stats", "x01_extract_sections",
+        "x02_extract_media", "x03_extract_references",
+        "x04_extract_meta", "x05_turn_spans", "x06_corpus_quality",
+        "x07_validation_scores", "x30_frame_sample",
+        "x31_audio_features", "x32_simhash_pairs",
         "x33_chunk_documents", "x34_html_strip", "x35_pack_sequences",
-        "x36_quantize_embeddings", "x37_source_token_stats",
-        "x38_distinctive_terms", "x39_decontaminate",
-        "x40_paragraph_dedup", "x41_redact_pii", "x42_exact_k_sample",
-        "x43_asof_join", "x44_range_join", "x45_sliding_rates",
-        "x46_token_budget_cut", "x47_rollup_acctbal",
-        "x48_temperature_mix", "x49_clean_unicode",
-        "x50_event_pivot", "x51_winsorize",
-    ]
-    q = {k: q[k] for k in _DRIVER_FIRST if k in q} | {
-        k: v for k, v in q.items() if k not in _DRIVER_FIRST}
+        "x37_source_token_stats", "x38_distinctive_terms",
+        "x39_decontaminate", "x40_paragraph_dedup", "x41_redact_pii",
+        "x42_exact_k_sample", "x43_asof_join", "x44_range_join",
+        "x45_sliding_rates", "x46_token_budget_cut",
+        "x47_rollup_acctbal", "x48_temperature_mix",
+        "x49_clean_unicode", "x50_event_pivot", "x51_winsorize"]})
+    # x36 was driver-RED in r04 (canonicalizer array artifact, fixed
+    # this round) → absent from the map → front of the window.
+    q = dict(sorted(q.items(),
+                    key=lambda kv: _LAST_GREEN.get(kv[0], 0)))
     return q
 
 
@@ -1529,7 +1563,8 @@ WITH v AS (
       ELSE list_transform(e, x -> CAST(round(x * 127.0 / scale) AS INT))
     END AS qvec
   FROM s)
-SELECT vec_id, round(scale, 6) AS scale, qvec,
+SELECT vec_id, round(scale, 6) AS scale,
+  array_to_string(qvec, ',') AS qvec,
   CASE WHEN scale = 0 THEN 0.0 ELSE
     round(list_cosine_similarity(e,
       list_transform(qvec, y -> CAST(y AS DOUBLE) * scale / 127.0)), 6)
@@ -1620,7 +1655,12 @@ FROM stats s LEFT JOIN reb r ON s.doc_id = r.doc_id
         "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
         "'.7 acct ' || lpad(CAST(doc_id AS VARCHAR), 11, '9')")
     _pii_ctes = [f"s0 AS (SELECT doc_id, {_pii_synth} AS t FROM documents)"]
-    for _i, (_kind, _pat, _rep) in enumerate(_PII, start=1):
+    for _i, (_kind, _pat0, _rep0) in enumerate(_PII, start=1):
+        # single-quote-escape the spliced literals (round-4 ADVICE):
+        # a future pattern/replacement with an apostrophe must not
+        # silently corrupt the generated SQL
+        _pat = _pat0.replace("'", "''")
+        _rep = _rep0.replace("'", "''")
         _carry = "".join(f", n_{k}" for k, _, _ in _PII[:_i - 1])
         _pii_ctes.append(
             f"s{_i} AS (SELECT doc_id, "

@@ -7,11 +7,13 @@ twins in ``__spark_entry__.oracle_sql`` (x27/x28), so the driver can
 value-hash-check them against DuckDB.
 
 Scale notes (100 TB):
-- ``gopher_quality``'s only shuffles are the (doc, bigram) count and
-  the per-doc rollup — both get map-side partial aggregation; the
-  per-doc shape stats (word count, mean word length, unique fraction)
-  are computed on the base scan with higher-order array functions,
-  no explode;
+- ``gopher_quality`` is a ZERO-SHUFFLE map over the base scan: every
+  stat, including the top-bigram fraction, is a higher-order array
+  expression on the row (the bigram stat is the max run length of the
+  sorted per-doc bigram array via one ``F.aggregate`` pass — the
+  (doc, bigram) groupBy alternative measured 0.43 scaling efficiency
+  and was rejected; see the function docstring and CLAUDE.md
+  invariant);
 - ``stratified_sample`` is a stateless map-side filter (hash + compare
   against a broadcast-free CASE) — zero shuffles, trivially resumable,
   and the same rows are selected on every run and every cluster size
@@ -474,6 +476,10 @@ def temperature_mix(df: DataFrame, key_col: str, strata_col: str,
     that |strata|-row relation → broadcast join back → map-side hash
     filter. The corpus-sized relation is touched exactly once, no
     wide shuffle.
+
+    A NULL stratum is a stratum like any other (the join back is
+    null-safe — round-4 ADVICE: a plain equi-join silently dropped
+    NULL-stratum rows even though the rate computation counted them).
     """
     counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
     total_w = counts.agg(
@@ -492,15 +498,16 @@ def temperature_mix(df: DataFrame, key_col: str, strata_col: str,
                 )
             ).cast("bigint"),
         )
-        .select(strata_col, "_thresh")
+        .select(F.col(strata_col).alias("_strata"), "_thresh")
     )
     bucket = F.pmod(
         md5_bigint(F.col(key_col).cast("string"), salt=salt),
         F.lit(denom))
     return (
-        df.join(F.broadcast(rates), strata_col)
+        df.join(F.broadcast(rates),
+                F.col(strata_col).eqNullSafe(F.col("_strata")))
         .withColumn("_bkt", bucket)
         .where(F.col("_bkt") < F.col("_thresh"))
         .withColumn("mix_rate_bucket", F.col("_thresh"))
-        .drop("_thresh", "_bkt")
+        .drop("_strata", "_thresh", "_bkt")
     )

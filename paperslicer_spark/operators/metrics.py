@@ -255,12 +255,21 @@ def exact_percentiles(df: DataFrame, group_col: str, value_expr,
     for the tiny per-group counts.  Output: one row per group with
     ``p{q}`` columns rounded to 6 dp, plus any ``extra_aggs`` (applied
     in the same final aggregate).
+
+    NULL values are dropped before ranking, matching ``F.percentile``
+    and DuckDB ``quantile_cont`` ignore-NULL semantics (without the
+    filter they sort first and occupy the lowest ranks, skewing every
+    quantile — round-4 ADVICE). Consequence: ``extra_aggs`` run over
+    the non-NULL-value rows only, and a group whose values are ALL
+    NULL is absent from the output (``F.percentile`` would keep it
+    with NULL percentiles — callers needing empty groups should join
+    the result back to the distinct keys).
     """
     from pyspark.sql import Window
 
     ranked = df.select(
         F.col(group_col), value_expr.cast("double").alias("_v")
-    ).withColumn(
+    ).where(F.col("_v").isNotNull()).withColumn(
         "_rn",
         F.row_number().over(
             Window.partitionBy(group_col).orderBy("_v")) - 1,

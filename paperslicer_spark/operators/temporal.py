@@ -102,24 +102,36 @@ def range_join(left: DataFrame, right: DataFrame, on: str,
     same-bucket candidates, then the exact interval predicate filters
     residuals. Candidate count per bucket is bounded by the data's
     rate x width, independent of total size.
+
+    All bucket and interval arithmetic is INTEGER epoch-microseconds
+    (round-4 ADVICE): seconds-as-double made sub-second deltas that
+    land exactly on a bound inexact by ~1 ulp, inconsistent with the
+    integer-µs x44 oracle. ``lower``/``upper`` are rounded to whole µs.
     """
     assert upper > lower
-    width = upper - lower
+    lower_us = int(round(lower * 1_000_000))
+    upper_us = int(round(upper * 1_000_000))
+    width_us = upper_us - lower_us
+    assert width_us > 0
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, ts_col)]
 
-    def _epoch(col):
-        # epoch seconds as double; TIMESTAMP_NTZ has no direct double
-        # cast, so route via TIMESTAMP (identity under the session's
-        # UTC timezone; numeric inputs round-trip exactly at µs)
-        return col.cast("timestamp").cast("double")
+    def _epoch_us(col):
+        # integer epoch µs; TIMESTAMP_NTZ needs the TIMESTAMP route
+        # (identity under the session's UTC timezone)
+        return F.unix_micros(col.cast("timestamp"))
 
-    lts = _epoch(F.col(ts_col))
-    l = left.withColumn("_bkt", F.floor((lts + lower) / width))
+    def _floordiv(a, b: int):
+        # exact bigint floor division (Spark's `div` truncates toward
+        # zero, wrong for negative pre-epoch values; pmod is ≥0)
+        return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("bigint")
+
+    lts = _epoch_us(F.col(ts_col))
+    l = left.withColumn("_bkt", _floordiv(lts + lower_us, width_us))
     # right row at ts matches left rows with left.ts in
     # [ts - upper, ts - lower] — an interval of length `width`, which
     # spans at most two buckets of the left's shifted grid
-    rts = _epoch(F.col(ts_col))
+    rts = _epoch_us(F.col(ts_col))
     r = right.select(
         F.col(on), rts.alias("_rts"),
         F.struct(*[F.col(c) for c in [ts_col] + right_cols]).alias("_r"),
@@ -127,20 +139,18 @@ def range_join(left: DataFrame, right: DataFrame, on: str,
     # the two candidate buckets are floor(r/width)-1 and floor(r/width)
     # — always distinct, so each true (l, r) pair joins exactly once
     # (l lives in exactly one bucket) and no dedup pass is needed
+    rb = _floordiv(F.col("_rts") - upper_us + lower_us, width_us)
     r2 = r.select(
         on, "_rts", "_r",
-        F.explode(F.array(
-            F.floor((F.col("_rts") - upper + lower) / width),
-            F.floor((F.col("_rts") - upper + lower) / width) + 1,
-        )).alias("_bkt"),
+        F.explode(F.array(rb, rb + 1)).alias("_bkt"),
     )
-    delta = F.col("_rts") - _epoch(F.col(ts_col))
+    delta = F.col("_rts") - _epoch_us(F.col(ts_col))
     out_cols = [F.col(c) for c in left.columns]
     out_cols.append(F.col(f"_r.{ts_col}").alias(f"{ts_col}{suffix}"))
     out_cols.extend(F.col(f"_r.{c}").alias(f"{c}{suffix}")
                     for c in right_cols)
     return (
         l.join(r2, [on, "_bkt"])
-        .where((delta >= lower) & (delta <= upper))
+        .where((delta >= lower_us) & (delta <= upper_us))
         .select(*out_cols)
     )

@@ -647,3 +647,22 @@ def test_clean_unicode_fixes(spark):
     assert out[4]["clean_text"] == "it's fine" and out[4]["n_fixed"] == 1
     assert out[5]["clean_text"] == "plain ascii"
     assert out[5]["n_fixed"] == 0
+
+
+def test_temperature_mix_null_stratum_kept(spark):
+    """A NULL stratum is sampled like any other (null-safe join back
+    — round-4 ADVICE: plain equi-join dropped those rows silently)."""
+    from pyspark.sql import functions as F
+
+    from paperslicer_spark.operators.curation import temperature_mix
+
+    rows = [(i, "big") for i in range(900)] + \
+           [(5_000 + i, None) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = temperature_mix(df, "doc_id", "src", alpha=0.5,
+                          target_rows=300)
+    kept = {r["src"]: r["n"] for r in
+            out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # sqrt(900)=30, sqrt(100)=10 → w_null=0.25 → ≈75 of 100 kept
+    assert None in kept and 45 <= kept[None] <= 100
+    assert out.columns == ["doc_id", "src", "mix_rate_bucket"]

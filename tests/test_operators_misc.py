@@ -703,3 +703,51 @@ def test_streaming_session_window_stats(spark, tmp_path):
     ref = {(r["conv_id"], str(r["t0"])[11:16], r["n"], r["c"])
            for r in batch.collect()}
     assert ref == want
+
+
+def test_exact_percentiles_ignores_nulls(spark):
+    """NULL values must not shift ranks (round-4 ADVICE): percentiles
+    match F.percentile / DuckDB quantile_cont, which ignore NULLs."""
+    from pyspark.sql import functions as F
+
+    from paperslicer_spark.operators.metrics import exact_percentiles
+
+    rows = ([("a", float(v)) for v in range(1, 11)]
+            + [("a", None)] * 5
+            + [("b", 7.0), ("b", None), ("b", 9.0)]
+            + [("c", None)])                     # all-NULL group
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: (r["p50"], r["p90"], r["n"]) for r in
+           exact_percentiles(
+               df, "g", F.col("v"), {"p50": 0.5, "p90": 0.9},
+               extra_aggs=[F.count("*").alias("n")]).collect()}
+    ref = {r["g"]: (round(r["p50"], 6), round(r["p90"], 6)) for r in
+           df.groupBy("g").agg(
+               F.percentile("v", 0.5).alias("p50"),
+               F.percentile("v", 0.9).alias("p90"))
+           .where(F.col("p50").isNotNull()).collect()}
+    assert got == {"a": (ref["a"][0], ref["a"][1], 10),
+                   "b": (ref["b"][0], ref["b"][1], 2)}
+    assert got["a"][0] == 5.5 and got["a"][1] == 9.1
+    # the all-NULL group is absent (documented divergence)
+    assert "c" not in got
+
+
+def test_range_join_subsecond_boundary_exact(spark):
+    """Deltas landing exactly on a bound with sub-second timestamps
+    are classified exactly (integer-µs arithmetic, round-4 ADVICE)."""
+    from paperslicer_spark.operators.temporal import range_join
+
+    # upper = 0.3 s; 0.1 and 0.3 are classic non-representable doubles
+    left = spark.createDataFrame(
+        [(1, "u", 1_000_000.1)], "event_id long, user string, ts double")
+    right = spark.createDataFrame(
+        [("u", 1_000_000.4, "edge"),     # Δ = 0.3 exactly → in
+         ("u", 1_000_000.400001, "out"), # 1 µs past → out
+         ("u", 1_000_000.2, "lo"),       # Δ = 0.1 exactly → in
+         ("u", 1_000_000.199999, "below")],
+        "user string, ts double, tag string")
+    got = {r["tag_right"] for r in
+           range_join(left, right, on="user", ts_col="ts",
+                      lower=0.1, upper=0.3).collect()}
+    assert got == {"edge", "lo"}
