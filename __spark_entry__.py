@@ -576,13 +576,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "lang", "bucket")
     q["x29_curated_keep"] = x29_curated_keep
 
+    def _scaled_clips(spark, sf, divisor: int, cap: int) -> int:
+        # sf-proportional synthetic-clip count (round-4 VERDICT item
+        # #5: fixed 24/32-clip corpora were fixture-grade evidence).
+        # Derived from the documents row count — the ONE scale signal
+        # both engines can see (the oracle mirrors it with a scalar
+        # subquery); parquet metadata makes the count ~free. Clip
+        # stats are seeded per asset_id, so every corpus is a prefix
+        # of the cap-sized one and a single frozen fixture serves all
+        # scale factors via `asset_id < n_clips`. Empty sf = fixture
+        # build → the full cap-sized corpus.
+        if not sf:
+            return cap
+        n_docs = _t(spark, sf, "documents").count()
+        return min(max(8, n_docs // divisor), cap)
+
     def x30_frame_sample(spark, sf):
         # video frame sampling: fake-container clips → ≤4 uniformly-
         # spaced frames each (REAL PNG payloads out) → per-frame
-        # pixel stats; deterministic corpus, fixture-frozen oracle
+        # pixel stats; sf-scaled corpus, prefix-stable frozen oracle
         from paperslicer_spark.operators.multimodal import (
             frame_sample, frame_stats, synth_videos)
-        vids = synth_videos(spark, 24, seed=42)
+        vids = synth_videos(spark, _scaled_clips(spark, sf, 20, 400),
+                            seed=42)
         return frame_stats(frame_sample(vids, n_samples=4))
     q["x30_frame_sample"] = x30_frame_sample
 
@@ -591,7 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # zero-crossing rate, peak (integer-arithmetic determinism)
         from paperslicer_spark.operators.multimodal import (
             audio_features, synth_audio)
-        return audio_features(synth_audio(spark, 32, seed=42))
+        return audio_features(synth_audio(
+            spark, _scaled_clips(spark, sf, 16, 500), seed=42))
     q["x31_audio_features"] = x31_audio_features
 
     def x32_simhash_pairs(spark, sf):
@@ -899,6 +916,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
     q["x51_winsorize"] = x51_winsorize
+
+    def _synth_lines(idx_mod7_inject: bool = True):
+        # deterministic multi-line text from the single-line corpus
+        # (the x34/x40 synthesize-then-operate pattern): 6-token lines;
+        # line (doc_id+idx)%3!=0 gets terminal '.', line
+        # (doc_id+idx)%7==0 gets a banned token appended
+        def line(t, s):
+            idx = (s / 6).cast("bigint")
+            body = F.array_join(F.slice(t, s + 1, 6), " ")
+            inj = F.when((F.col("doc_id") + idx) % 7 == 0,
+                         F.lit(" javascript")).otherwise(F.lit("")) \
+                if idx_mod7_inject else F.lit("")
+            punct = F.when((F.col("doc_id") + idx) % 3 != 0,
+                           F.lit(".")).otherwise(F.lit(""))
+            return F.concat(body, inj, punct)
+
+        return TS.bind(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda t: F.transform(
+                F.sequence(F.lit(0), F.size(t) - 1, F.lit(6)),
+                lambda s: line(t, s)))
+
+    def x52_c4_line_filter(spark, sf):
+        # C4-style line-level cleaning (min words ∧ terminal punct ∧
+        # no banned phrase) + doc rebuild, over synthesized lines
+        from paperslicer_spark.operators.curation import c4_line_filter
+        docs = _t(spark, sf, "documents").where(F.trim("text") != "")
+        withl = docs.select(
+            "doc_id", F.array_join(_synth_lines(), "\n").alias("text"))
+        return c4_line_filter(withl, "doc_id", "text", min_words=3)
+    q["x52_c4_line_filter"] = x52_c4_line_filter
+
+    def x53_unigram_logprob(spark, sf):
+        # per-doc mean unigram log10-prob + OOV rate under the
+        # corpus's own add-one top-20 unigram LM (KenLM-filter
+        # stand-in); count pass → broadcast model → scoring pass
+        from paperslicer_spark.operators.curation import unigram_logprob
+        return unigram_logprob(_t(spark, sf, "documents"),
+                               "doc_id", "text", vocab_size=20)
+    q["x53_unigram_logprob"] = x53_unigram_logprob
+
+    def x54_repetition_stats(spark, sf):
+        # the remaining Gopher repetition rules: dup-line fraction
+        # (count + chars) over synthesized 5-token lines, top-3/4-gram
+        # occupancy over the raw tokens — all zero-shuffle
+        from paperslicer_spark.operators.curation import repetition_stats
+        docs = _t(spark, sf, "documents").where(F.trim("text") != "")
+        fives = TS.bind(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda t: F.transform(
+                F.sequence(F.lit(0), F.size(t) - 1, F.lit(5)),
+                lambda s: F.array_join(F.slice(t, s + 1, 5), " ")))
+        withl = docs.select(
+            "doc_id", F.array_join(fives, "\n").alias("text"))
+        return repetition_stats(withl, "doc_id", "text")
+    q["x54_repetition_stats"] = x54_repetition_stats
 
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
@@ -1419,13 +1492,21 @@ FROM '{_FIX}/asset_features.parquet'
 SELECT asset_id, kind, width, height, px_std, ink_fraction, kept
 FROM '{_FIX}/asset_stats.parquet'
 """
+    # x30/x31: the frozen fixtures hold the CAP-sized corpus (400
+    # video / 500 audio clips); per-asset stats are seeded by asset_id
+    # alone, so the sf-scaled corpus is always a prefix and the oracle
+    # selects it with the same documents-count rule the query uses
     o["x30_frame_sample"] = f"""
 SELECT asset_id, frame_idx, width, height, px_mean, px_std
 FROM '{_FIX}/frame_stats.parquet'
+WHERE asset_id < least(greatest(8,
+  (SELECT count(*) FROM documents) // 20), 400)
 """
     o["x31_audio_features"] = f"""
 SELECT asset_id, sample_rate, n_samples, duration_s, rms, zcr, peak
 FROM '{_FIX}/audio_stats.parquet'
+WHERE asset_id < least(greatest(8,
+  (SELECT count(*) FROM documents) // 16), 500)
 """
 
     # x32: SimHash Hamming-LSH pairs — x08's simhash pipeline, then
@@ -1838,6 +1919,104 @@ SELECT event_id, value,
   round(least(greatest(value, p05), p95), 6) AS clipped,
   value < p05 AS was_low, value > p95 AS was_high
 FROM events, p
+"""
+
+    # x52: identical synthesized 6-token lines (punct/banned injection
+    # keyed on (doc_id + line_idx)), identical per-line C4 predicate
+    o["x52_c4_line_filter"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+ lines AS (
+  SELECT doc_id, s // 6 AS idx,
+    array_to_string(t[s + 1 : s + 6], ' ')
+    || CASE WHEN (doc_id + s // 6) % 7 = 0 THEN ' javascript'
+            ELSE '' END
+    || CASE WHEN (doc_id + s // 6) % 3 <> 0 THEN '.' ELSE '' END
+    AS line
+  FROM toks, UNNEST(range(0, len(t), 6)) AS u(s)),
+ kept AS (
+  SELECT doc_id, idx, line FROM lines
+  WHERE len(string_split_regex(trim(line), '\\s+')) >= 3
+    AND trim(line) <> ''
+    AND regexp_matches(trim(line), '[.!?"]$')
+    AND NOT contains(lower(trim(line)), 'lorem ipsum')
+    AND NOT contains(lower(trim(line)), 'javascript')),
+ stats AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1),
+ reb AS (
+  SELECT doc_id, string_agg(line, e'\\n' ORDER BY idx) AS clean_text,
+    count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT s.doc_id AS doc, coalesce(r.clean_text, '') AS clean_text,
+  s.n_lines, coalesce(r.n_kept, 0) AS n_kept
+FROM stats s LEFT JOIN reb r ON s.doc_id = r.doc_id
+"""
+
+    # x53: same top-20 vocab (count desc, token asc), same add-one
+    # smoothing arithmetic in IEEE doubles
+    o["x53_unigram_logprob"] = """
+WITH toks AS (
+  SELECT doc_id AS doc,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''),
+ cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+ vocab AS (SELECT w, c FROM cnt ORDER BY c DESC, w ASC LIMIT 20),
+ tot AS (SELECT count(*) AS n FROM toks),
+ vc AS (SELECT count(*) AS v FROM vocab),
+ sc AS (SELECT t.doc, vb.c AS c FROM toks t
+        LEFT JOIN vocab vb ON t.w = vb.w)
+SELECT doc, count(*) AS n_tokens,
+  round(avg(CASE WHEN c IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_frac,
+  round(avg(log10((coalesce(c, 0) + 1.0) / (n + v + 1))), 6)
+    AS mean_logp
+FROM sc, tot, vc GROUP BY doc
+"""
+
+    # x54: synthesized 5-token lines for the dup-line stats; top-3/4-
+    # gram occupancy via the UNNEST+GROUP twin of the max-run pass
+    o["x54_repetition_stats"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+    string_split_regex(trim(lower(text)), '\\s+') AS tl
+  FROM documents WHERE trim(text) <> ''),
+ lines AS (
+  SELECT doc_id, array_to_string(t[s + 1 : s + 5], ' ') AS line
+  FROM toks, UNNEST(range(0, len(t), 5)) AS u(s)),
+ lstat AS (
+  SELECT doc_id, count(*) AS n_lines,
+    count(DISTINCT line) AS n_distinct,
+    sum(len(line)) AS chars
+  FROM lines GROUP BY 1),
+ dchars AS (
+  SELECT doc_id, sum(len(line)) AS chars_distinct
+  FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY 1),
+ g3 AS (SELECT doc_id, tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2] AS g
+        FROM toks, UNNEST(range(1, len(tl) - 1)) AS u(i)
+        WHERE len(tl) >= 3),
+ g4 AS (SELECT doc_id,
+          tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2] || ' ' || tl[i+3] AS g
+        FROM toks, UNNEST(range(1, len(tl) - 2)) AS u(i)
+        WHERE len(tl) >= 4),
+ t3 AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n FROM
+        (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+        GROUP BY 1),
+ t4 AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n FROM
+        (SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY 1, 2)
+        GROUP BY 1)
+SELECT l.doc_id AS doc, l.n_lines,
+  round(CAST(l.n_lines - l.n_distinct AS DOUBLE) / l.n_lines, 6)
+    AS dup_line_frac,
+  CASE WHEN l.chars > 0 THEN
+    round(CAST(l.chars - d.chars_distinct AS DOUBLE) / l.chars, 6)
+  ELSE 0.0 END AS dup_line_char_frac,
+  coalesce(round(CAST(t3.top_c AS DOUBLE) / t3.n, 6), 0.0)
+    AS frac_top_trigram,
+  coalesce(round(CAST(t4.top_c AS DOUBLE) / t4.n, 6), 0.0)
+    AS frac_top_fourgram
+FROM lstat l
+JOIN dchars d ON l.doc_id = d.doc_id
+LEFT JOIN t3 ON l.doc_id = t3.doc_id
+LEFT JOIN t4 ON l.doc_id = t4.doc_id
 """
 
     o["x42_exact_k_sample"] = """

@@ -33,8 +33,14 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str,
                    min_mean_word_len: float = 3.0,
                    max_mean_word_len: float = 10.0,
                    min_frac_unique: float = 0.4,
-                   max_frac_top_bigram: float = 0.06) -> DataFrame:
+                   max_frac_top_bigram: float = 0.06,
+                   carry_cols: list[str] | None = None) -> DataFrame:
     """Gopher-style document quality stats + keep flag.
+
+    ``carry_cols`` names input columns passed through unchanged (e.g.
+    the stratum for a downstream sampler in a dedup → quality → sample
+    funnel) — per-row pass-through, so the operator stays stateless
+    and streaming-composable.
 
     Per document (blank-text rows are excluded — they fail the word
     floor by definition):
@@ -124,6 +130,7 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str,
             F.when(st["bg"]["n_bg"] > 0,
                    F.round(st["bg"]["top_c"] / st["bg"]["n_bg"], 6))
             .otherwise(F.lit(0.0)).alias("frac_top_bigram"),
+            *[F.col(c) for c in (carry_cols or [])],
         )
     )
     keep = (
@@ -511,3 +518,187 @@ def temperature_mix(df: DataFrame, key_col: str, strata_col: str,
         .withColumn("mix_rate_bucket", F.col("_thresh"))
         .drop("_strata", "_thresh", "_bkt")
     )
+
+
+def c4_line_filter(df: DataFrame, id_col: str, text_col: str,
+                   min_words: int = 3,
+                   banned: tuple[str, ...] = ("lorem ipsum",
+                                              "javascript"),
+                   require_terminal: bool = True,
+                   line_sep: str = "\n") -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep a
+    line iff it has ≥ ``min_words`` whitespace tokens, ends in terminal
+    punctuation (``. ! ? "``), and contains no banned phrase
+    (case-insensitive substring); the document is rebuilt from the
+    surviving lines in order.
+
+    Output: ``(doc, clean_text, n_lines, n_kept)``; blank-text rows
+    are excluded (they have no lines).
+
+    Scale notes (100 TB): the whole operator is a ZERO-SHUFFLE
+    higher-order map on the base scan — split, per-line predicate
+    inside ``F.filter`` (each predicate term reads only the lambda
+    element, so the no-CSE-in-HOF trap does not apply), rejoin.
+    Stateless → streams unchanged.
+    """
+    def _line_keep(line):
+        t = F.trim(line)
+        keep = F.size(F.split(t, WS)) >= F.lit(min_words)
+        keep = keep & (t != "")
+        if require_terminal:
+            keep = keep & t.rlike('[.!?"]$')
+        low = F.lower(t)
+        for phrase in banned:
+            keep = keep & ~low.contains(phrase.lower())
+        return keep
+
+    lines = F.split(F.col(text_col), line_sep)
+    st = bind(lines, lambda ls: F.struct(
+        F.size(ls).cast("bigint").alias("n_lines"),
+        bind(F.filter(ls, _line_keep), lambda kept: F.struct(
+            F.array_join(kept, line_sep).alias("clean_text"),
+            F.size(kept).cast("bigint").alias("n_kept"),
+        )).alias("k"),
+    ))
+    return (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("doc"),
+                st["k"]["clean_text"].alias("clean_text"),
+                st["n_lines"].alias("n_lines"),
+                st["k"]["n_kept"].alias("n_kept"))
+    )
+
+
+def _max_run(sorted_arr):
+    """Longest run of equal adjacent elements in a SORTED array — the
+    zero-shuffle top-n-gram occupancy primitive (one ``F.aggregate``
+    pass; see gopher_quality's plan-shape note and the CLAUDE.md
+    no-(doc,ngram)-groupBy invariant)."""
+    def step(acc, x):
+        is_new = acc["prev"].isNull() | (acc["prev"] != x)
+        run = F.when(is_new, F.lit(1).cast("bigint")) \
+            .otherwise(acc["run"] + F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(
+        sorted_arr,
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).cast("bigint").alias("run"),
+                 F.lit(0).cast("bigint").alias("best")),
+        step, lambda acc: acc["best"])
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str,
+                     line_sep: str = "\n") -> DataFrame:
+    """The rest of the Gopher/MassiveText repetition rules (Rae et al.
+    2021, Table A1) beyond gopher_quality's top-bigram: per document,
+
+    - ``dup_line_frac``: fraction of non-blank lines that are exact
+      duplicates of an earlier line (``(n - n_distinct) / n``);
+    - ``dup_line_char_frac``: same, weighted by characters;
+    - ``frac_top_trigram`` / ``frac_top_fourgram``: occurrences of the
+      most frequent word 3-/4-gram over total 3-/4-grams.
+
+    All fractions rounded to 6 dp; docs with no non-blank lines are
+    excluded. ZERO-SHUFFLE: line stats come from array/distinct
+    aggregates on the row, n-gram occupancy from the sorted-array
+    max-run pass — no (doc, ngram) shuffle, scales like a scan.
+    """
+    def _char_sum(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.length(x))
+
+    def _ngrams(t, n):
+        return F.when(F.size(t) < n, F.array().cast("array<string>")) \
+            .otherwise(F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.array_join(F.slice(t, i + 1, n), " ")))
+
+    def _top_frac(t, n):
+        return bind(_ngrams(t, n), lambda gs: F.when(
+            F.size(gs) > 0,
+            F.round(_max_run(F.array_sort(gs)) / F.size(gs), 6),
+        ).otherwise(F.lit(0.0)))
+
+    lines = F.filter(F.split(F.col(text_col), line_sep),
+                     lambda l: F.trim(l) != "")
+    line_st = bind(lines, lambda ls: bind(
+        F.array_distinct(ls), lambda ds: F.struct(
+            F.size(ls).cast("bigint").alias("n_lines"),
+            F.size(ds).cast("bigint").alias("n_distinct"),
+            _char_sum(ls).alias("chars"),
+            _char_sum(ds).alias("chars_distinct"),
+        )))
+    tok_st = bind(tokens(F.lower(F.col(text_col))), lambda t: F.struct(
+        _top_frac(t, 3).alias("f3"), _top_frac(t, 4).alias("f4")))
+    out = (
+        df.select(F.col(id_col).alias("doc"),
+                  line_st.alias("_l"), tok_st.alias("_t"))
+        .where(F.col("_l.n_lines") > 0)
+        .select(
+            "doc",
+            F.col("_l.n_lines").alias("n_lines"),
+            F.round((F.col("_l.n_lines") - F.col("_l.n_distinct"))
+                    / F.col("_l.n_lines"), 6).alias("dup_line_frac"),
+            F.when(F.col("_l.chars") > 0,
+                   F.round((F.col("_l.chars") - F.col("_l.chars_distinct"))
+                           / F.col("_l.chars"), 6))
+            .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+            F.col("_t.f3").alias("frac_top_trigram"),
+            F.col("_t.f4").alias("frac_top_fourgram"),
+        )
+    )
+    return out
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                    vocab_size: int = 1000) -> DataFrame:
+    """Per-document mean unigram log10-probability under the corpus's
+    own add-one-smoothed top-K unigram LM — the cheap stand-in for a
+    KenLM perplexity quality filter (CCNet / Wenzek et al. 2020):
+    boilerplate and in-distribution text score high, token soup and
+    OOV-heavy noise score low.
+
+    Model: ``V`` = top ``vocab_size`` corpus tokens by (count desc,
+    token asc); ``P(w) = (c_w + 1) / (N + |V| + 1)`` with ``c_w = 0``
+    for OOV; per doc: ``mean_logp`` = mean log10 P over its tokens,
+    plus ``oov_frac``. Rounded to 6 dp.
+
+    Scale notes (100 TB): the count pass explodes tokens but Spark's
+    hash aggregate pre-combines map-side, so the shuffle carries at
+    most |partition vocab| rows; top-K is TakeOrdered (no global
+    sort materialization) and the resulting ≤``vocab_size``-row model
+    relation is BROADCAST to the scoring join; scoring shuffles only
+    the (doc, partial-sum) aggregation. Skew-immune: token frequency
+    skew lands in the map-side combiners, not one reducer.
+    """
+    toks = df.where(F.trim(F.col(text_col)) != "") \
+        .select(F.col(id_col).alias("doc"),
+                F.explode(tokens(F.lower(F.col(text_col))))
+                .alias("w"))
+    vocab = (
+        toks.groupBy("w").agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(vocab_size)
+    )
+    totals = toks.agg(
+        F.count("*").alias("_n"),
+        F.lit(0).alias("_z"))  # keep the relation 1-row, broadcastable
+    v_count = vocab.agg(F.count("*").alias("_v"))
+    scored = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(v_count))
+        .withColumn(
+            "_logp",
+            F.log10((F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("_n") + F.col("_v") + 1)))
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_tokens"),
+             F.round(F.avg(F.col("c").isNull().cast("double")), 6)
+             .alias("oov_frac"),
+             F.round(F.avg("_logp"), 6).alias("mean_logp"))
+    )
+    return scored

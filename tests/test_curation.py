@@ -666,3 +666,70 @@ def test_temperature_mix_null_stratum_kept(spark):
     # sqrt(900)=30, sqrt(100)=10 → w_null=0.25 → ≈75 of 100 kept
     assert None in kept and 45 <= kept[None] <= 100
     assert out.columns == ["doc_id", "src", "mix_rate_bucket"]
+
+
+def test_c4_line_filter_rules(spark):
+    from paperslicer_spark.operators.curation import c4_line_filter
+
+    text = "\n".join([
+        "this line is properly terminated.",   # keep
+        "no terminal punctuation here",        # drop: no terminal
+        "short one.",                          # drop: < 3 words
+        "enable javascript to view this.",     # drop: banned
+        'he said "stop right there."',         # keep (quote terminal)
+        "   ",                                 # drop: blank
+        "Lorem Ipsum filler text again.",      # drop: banned (ci)
+        "another good line survives!",         # keep
+    ])
+    df = spark.createDataFrame([(1, text), (2, "   ")],
+                               "doc_id long, text string")
+    out = c4_line_filter(df, "doc_id", "text").collect()
+    assert len(out) == 1                      # blank doc excluded
+    r = out[0]
+    assert r["doc"] == 1 and r["n_lines"] == 8 and r["n_kept"] == 3
+    assert r["clean_text"] == (
+        "this line is properly terminated.\n"
+        'he said "stop right there."\n'
+        "another good line survives!")
+
+
+def test_unigram_logprob_model(spark):
+    import math
+
+    from paperslicer_spark.operators.curation import unigram_logprob
+
+    rows = [(1, "a a b"), (2, "a c"), (3, "  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # vocab_size=2 → vocab {a:3, b:1} (count desc, token asc beats c);
+    # N=5 tokens, V=2 → P(w) = (c+1)/8
+    out = {r["doc"]: r for r in
+           unigram_logprob(df, "doc_id", "text", vocab_size=2).collect()}
+    assert set(out) == {1, 2}
+    lp = lambda c: math.log10((c + 1) / 8)
+    assert out[1]["n_tokens"] == 3 and out[1]["oov_frac"] == 0.0
+    assert out[1]["mean_logp"] == round((2 * lp(3) + lp(1)) / 3, 6)
+    assert out[2]["n_tokens"] == 2 and out[2]["oov_frac"] == 0.5
+    assert out[2]["mean_logp"] == round((lp(3) + lp(0)) / 2, 6)
+
+
+def test_repetition_stats_values(spark):
+    from paperslicer_spark.operators.curation import repetition_stats
+
+    # lines: "x y" twice + "z w" once → dup_line_frac = 1/3;
+    # chars: 3+3+3=9, distinct 6 → dup_char_frac = 3/9
+    # tokens: x y x y z w → trigrams {x y x, y x y, x y z, y z w}
+    # all unique → top3 = 1/4; fourgrams 3 distinct → 1/3
+    df = spark.createDataFrame([(1, "x y\nx y\nz w")],
+                               "doc_id long, text string")
+    r = repetition_stats(df, "doc_id", "text").collect()[0]
+    assert r["n_lines"] == 3
+    assert r["dup_line_frac"] == round(1 / 3, 6)
+    assert r["dup_line_char_frac"] == round(3 / 9, 6)
+    assert r["frac_top_trigram"] == 0.25
+    assert r["frac_top_fourgram"] == round(1 / 3, 6)
+    # degenerate repetition: "q q q q q q" → every trigram identical
+    df2 = spark.createDataFrame([(9, "q q q\nq q q")],
+                                "doc_id long, text string")
+    r2 = repetition_stats(df2, "doc_id", "text").collect()[0]
+    assert r2["dup_line_frac"] == 0.5
+    assert r2["frac_top_trigram"] == 1.0 and r2["frac_top_fourgram"] == 1.0
