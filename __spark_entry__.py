@@ -973,6 +973,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return repetition_stats(withl, "doc_id", "text")
     q["x54_repetition_stats"] = x54_repetition_stats
 
+    def x55_semdedup(spark, sf):
+        # SemDeDup: frozen-quantizer clusters → within-cluster
+        # cosine-0.4 groups → min-id representative per group
+        from paperslicer_spark.operators.similarity import semdedup
+        e = _t(spark, sf, "embeddings")
+        cents = spark.read.parquet(
+            os.path.join(_FIX, "ivf_centroids.parquet"))
+        return semdedup(e, cents, threshold=0.4)
+    q["x55_semdedup"] = x55_semdedup
+
+    def x56_delta_dedup(spark, sf):
+        # continual-pretraining ingest: a synthesized "new batch"
+        # (exact re-crawls, near-dup trailers, token-reversed fresh
+        # docs) classified against the existing corpus by corpus-side
+        # md5 + MinHash band state
+        from paperslicer_spark.operators.dedup import delta_dedup
+        docs = _t(spark, sf, "documents").where(F.trim("text") != "")
+        t = F.trim(F.col("text"))
+        exact = docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), F.col("text"))
+        near = docs.where(F.col("doc_id") % 10 == 1).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"),
+                     F.lit(" appended audit trailer tokens"))
+            .alias("text"))
+        fresh = docs.where(F.col("doc_id") % 10 == 2).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.array_join(F.reverse(F.split(t, r"\s+")), " "),
+                     F.lit(" brand new content")).alias("text"))
+        new = exact.unionByName(near).unionByName(fresh)
+        return delta_dedup(new, docs, "doc_id", "text")
+    q["x56_delta_dedup"] = x56_delta_dedup
+
+    def x57_epoch_mix(spark, sf):
+        # data-mixing epoch plan: per-lang repeat factors toward a
+        # 100k-token budget at mixture weights en .6 / de .2 /
+        # default .1 (normalized by the listed-weight sum), max 4
+        # epochs
+        from paperslicer_spark.operators.curation import epoch_mix
+        docs = _t(spark, sf, "documents")
+        return epoch_mix(docs, "lang", TS.word_count(F.col("text")),
+                         weights={"en": 0.6, "de": 0.2},
+                         budget_tokens=100_000, max_epochs=4.0,
+                         default_weight=0.1)
+    q["x57_epoch_mix"] = x57_epoch_mix
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -2017,6 +2063,126 @@ FROM lstat l
 JOIN dchars d ON l.doc_id = d.doc_id
 LEFT JOIN t3 ON l.doc_id = t3.doc_id
 LEFT JOIN t4 ON l.doc_id = t4.doc_id
+"""
+
+    # x55: SemDeDup — x15's frozen-centroid assignment, within-cluster
+    # cosine pairs at 6dp, x29's recursive reach CTE for the groups
+    o["x55_semdedup"] = f"""
+WITH RECURSIVE
+ cent AS (SELECT list_id, center FROM '{_FIX}/ivf_centroids.parquet'),
+ v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ dists AS (
+   SELECT v.vec_id, c.list_id,
+     round(list_distance(v.e, CAST(c.center AS DOUBLE[])), 6) AS dist
+   FROM v CROSS JOIN cent c),
+ assign AS (
+   SELECT vec_id, list_id FROM (
+     SELECT vec_id, list_id,
+       row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dist, list_id) AS rn
+     FROM dists) WHERE rn = 1),
+ pairs AS (
+   SELECT a1.vec_id AS id_a, a2.vec_id AS id_b
+   FROM assign a1
+   JOIN assign a2 ON a1.list_id = a2.list_id AND a1.vec_id < a2.vec_id
+   JOIN v v1 ON v1.vec_id = a1.vec_id
+   JOIN v v2 ON v2.vec_id = a2.vec_id
+   WHERE round(list_cosine_similarity(v1.e, v2.e), 6) >= 0.4),
+ edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+ reach AS (
+   SELECT s AS node, d AS other FROM edges
+   UNION
+   SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.other),
+ lab AS (
+   SELECT node, least(node, min(other)) AS rep FROM reach GROUP BY node)
+SELECT a.vec_id, a.list_id,
+  coalesce(l.rep, a.vec_id) AS rep_id,
+  coalesce(l.rep, a.vec_id) = a.vec_id AS is_rep
+FROM assign a LEFT JOIN lab l ON a.vec_id = l.node
+"""
+
+    # x56: full independent recomputation — same synthesized new
+    # batch, corpus md5 set for the exact flag, x09's minhash/band
+    # machinery on BOTH relations for the near flag
+    _x56_bands = ", ".join(
+        "(" + " || '_' || ".join(
+            f"CAST(mh{b * 3 + r} AS VARCHAR)" for r in range(3))
+        + f") AS bk{b}" for b in range(4))
+    _x56_unp = " UNION ALL ".join(
+        f"SELECT doc, {b} AS band, bk{b} AS bkey FROM nsig2"
+        for b in range(4))
+    _x56_unc = " UNION ALL ".join(
+        f"SELECT doc, {b} AS band, bk{b} AS bkey FROM csig2"
+        for b in range(4))
+    o["x56_delta_dedup"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE trim(text) <> ''),
+ newdocs AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM corpus WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 100000, text || ' appended audit trailer tokens'
+  FROM corpus WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id + 100000,
+    array_to_string(list_reverse(string_split_regex(trim(text), '\\s+')),
+                    ' ') || ' brand new content'
+  FROM corpus WHERE doc_id % 10 = 2),
+ ch AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+ ntoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
+           AS t FROM newdocs WHERE trim(text) <> ''),
+ ngrams AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+            AS shingle
+            FROM ntoks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 3),
+ nsh AS (SELECT DISTINCT doc_id AS doc, shingle FROM ngrams),
+ ctoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
+           AS t FROM corpus),
+ cgrams AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+            AS shingle
+            FROM ctoks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 3),
+ csh AS (SELECT DISTINCT doc_id AS doc, shingle FROM cgrams),
+ nsig AS (SELECT doc, {", ".join(_mh_expr(j) for j in range(12))}
+          FROM nsh GROUP BY doc),
+ csig AS (SELECT doc, {", ".join(_mh_expr(j) for j in range(12))}
+          FROM csh GROUP BY doc),
+ nsig2 AS (SELECT doc, {_x56_bands} FROM nsig),
+ csig2 AS (SELECT doc, {_x56_bands} FROM csig),
+ nbands AS ({_x56_unp}),
+ cbands AS (SELECT DISTINCT band, bkey FROM ({_x56_unc})),
+ nearids AS (
+   SELECT DISTINCT n.doc FROM nbands n
+   JOIN cbands c ON n.band = c.band AND n.bkey = c.bkey)
+SELECT nd.doc_id,
+  md5(nd.text) IN (SELECT h FROM ch) AS exact_dup,
+  nd.doc_id IN (SELECT doc FROM nearids) AS near_dup,
+  NOT (md5(nd.text) IN (SELECT h FROM ch))
+    AND NOT (nd.doc_id IN (SELECT doc FROM nearids)) AS keep
+FROM newdocs nd
+"""
+
+    # x57: pure arithmetic on the per-stratum aggregate; the weight
+    # CASE mirrors epoch_mix's sorted-dict construction
+    o["x57_epoch_mix"] = f"""
+WITH agg AS (
+  SELECT lang AS stratum, count(*) AS n_docs,
+    CAST(sum({_WORDS_EXPR}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+ w AS (
+  SELECT *, round(CASE stratum WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.6
+                  ELSE 0.1 END / 0.8, 6) AS weight
+  FROM agg),
+ t AS (
+  SELECT *, CAST(round(100000 * weight) AS BIGINT) AS target_tokens
+  FROM w),
+ e AS (
+  SELECT *, round(least(4.0, CAST(target_tokens AS DOUBLE)
+                             / greatest(n_tokens, 1)), 6) AS epochs
+  FROM t)
+SELECT stratum, n_docs, n_tokens, weight, target_tokens, epochs,
+  CAST(round(epochs * n_tokens) AS BIGINT) AS effective_tokens
+FROM e
 """
 
     o["x42_exact_k_sample"] = """

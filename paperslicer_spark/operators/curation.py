@@ -702,3 +702,46 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
              F.round(F.avg("_logp"), 6).alias("mean_logp"))
     )
     return scored
+
+
+def epoch_mix(df: DataFrame, strata_col: str, token_expr,
+              weights: dict[str, float], budget_tokens: int,
+              max_epochs: float = 4.0,
+              default_weight: float = 0.0) -> DataFrame:
+    """Data-mixing epoch plan: given target mixture ``weights`` and a
+    total token ``budget_tokens``, compute per-stratum repeat factors
+    — ``epochs = min(max_epochs, target_tokens / n_tokens)`` — the
+    "repeat small high-quality sources up to N epochs" rule
+    (Muennighoff et al. 2023, data-constrained scaling). Output one
+    row per stratum: ``(stratum, n_docs, n_tokens, weight,
+    target_tokens, epochs, effective_tokens)``.
+
+    Plan: one aggregate over the corpus (map-side combined) → pure
+    arithmetic on the |strata|-row relation. 6dp epochs; integer
+    token counts everywhere else.
+    """
+    total_w = sum(weights.values()) or 1.0
+    w_expr = None
+    for s, w in sorted(weights.items()):
+        cond = F.col("stratum") == s
+        w_expr = F.when(cond, F.lit(w)) if w_expr is None \
+            else w_expr.when(cond, F.lit(w))
+    w_expr = (F.lit(float(default_weight)) if w_expr is None
+              else w_expr.otherwise(F.lit(float(default_weight))))
+    agg = (
+        df.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(token_expr.cast("bigint")).alias("n_tokens"))
+        .withColumn("weight", F.round(w_expr / total_w, 6))
+    )
+    target = F.round(F.lit(budget_tokens) * F.col("weight")).cast("bigint")
+    epochs = F.round(
+        F.least(F.lit(float(max_epochs)),
+                target / F.greatest(F.col("n_tokens"), F.lit(1))), 6)
+    return (
+        agg.withColumn("target_tokens", target)
+        .withColumn("epochs", epochs)
+        .withColumn("effective_tokens",
+                    F.round(F.col("epochs") * F.col("n_tokens"))
+                    .cast("bigint"))
+    )

@@ -581,3 +581,63 @@ def decontaminate(train: DataFrame, bench: DataFrame, id_col: str,
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def delta_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
+                text_col: str, n: int = 3, num_hashes: int = 12,
+                bands: int = 4) -> DataFrame:
+    """Continual-pretraining ingest dedup: classify each NEW document
+    against the EXISTING corpus — ``exact_dup`` (byte-identical text
+    already in the corpus), ``near_dup`` (shares a MinHash-LSH band
+    bucket with a corpus doc), or kept. Output: one row per new doc,
+    ``(id, keep, exact_dup, near_dup)``.
+
+    The incremental twin of the whole-corpus pipeline (q06/x09): the
+    corpus side's md5 keys and band buckets are exactly what a
+    snapshot table would persist, so at scale this runs as two
+    hash joins against precomputed state — the new batch (small) is
+    the build side of both, and NOTHING is recomputed over the corpus
+    text when the signature snapshot exists.
+
+    Guaranteed-recall property inherited from the banded scheme: an
+    exact re-crawl always collides (identical signature ⇒ identical
+    bands), near-identical docs collide with the standard LSH
+    probability curve.
+    """
+    new_keyed = new_docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h"))
+    corpus_hashes = corpus.select(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h")
+    ).distinct()
+    exact = new_keyed.join(corpus_hashes, "_h", "left_semi") \
+        .select(F.col("_id"), F.lit(True).alias("exact_dup"))
+
+    def _bands(df):
+        sig = minhash_signatures(df, id_col, text_col, n=n,
+                                 num_hashes=num_hashes)
+        rows = num_hashes // bands
+        keys = [
+            F.concat_ws(":", F.lit(str(b)), F.concat_ws("_", *[
+                F.col(f"mh{b * rows + r}").cast("string")
+                for r in range(rows)]))
+            for b in range(bands)
+        ]
+        return sig.select("doc", F.explode(F.array(*keys)).alias("bkey"))
+
+    near = _bands(new_docs).join(
+        _bands(corpus).select("bkey").distinct(), "bkey", "left_semi") \
+        .select(F.col("doc").alias("_id")).distinct() \
+        .withColumn("near_dup", F.lit(True))
+
+    return (
+        new_keyed.select("_id")
+        .join(exact, "_id", "left")
+        .join(near, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("exact_dup"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("near_dup"), F.lit(False)).alias("near_dup"),
+        )
+        .withColumn("keep", ~F.col("exact_dup") & ~F.col("near_dup"))
+    )

@@ -312,3 +312,53 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
         F.when(scale == 0.0, zeros).otherwise(qvec).alias("qvec"),
         drift.alias("cos_fidelity"),
     )
+
+
+def semdedup(corpus: DataFrame, centroids: DataFrame,
+             threshold: float = 0.7, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding — cluster the corpus with a frozen
+    coarse quantizer, find within-cluster pairs with cosine ≥
+    ``threshold``, connect them into duplicate groups, and keep one
+    representative (the minimum id) per group.
+
+    Output: one row per corpus vector — ``(vec_id, list_id, rep_id,
+    is_rep)``; a dedup pass keeps ``is_rep`` rows. Fully deterministic
+    and SQL-replayable (6dp-rounded cosines, min-id representatives,
+    the frozen-centroid x15 pattern).
+
+    Scale notes (100 TB): the pair search is an equi-join on
+    ``list_id`` — quadratic only WITHIN a cluster, which is the
+    algorithm's own contract (SemDeDup runs k-means with k large
+    enough that clusters are ~10^5 vectors; cluster count grows with
+    the corpus, cluster size does not). Assignment is the broadcast
+    min_by argmin (ivf_assign); the duplicate-group closure reuses
+    connected_components (bucketed, checkpointed, no driver graph).
+    """
+    from paperslicer_spark.operators.dedup import connected_components
+
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    withvec = assigned.join(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_v")), id_col)
+    l = withvec.select(F.col(id_col).alias("id_a"), "list_id",
+                       F.col("_v").alias("_va"))
+    r = withvec.select(F.col(id_col).alias("id_b"), "list_id",
+                       F.col("_v").alias("_vb"))
+    pairs = (
+        l.join(r, "list_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+    groups = connected_components(pairs, "id_a", "id_b")
+    return (
+        assigned.join(groups, assigned[id_col] == groups["node"], "left")
+        .select(
+            F.col(id_col), F.col("list_id"),
+            F.coalesce(F.col("label"), F.col(id_col)).alias("rep_id"),
+            (F.coalesce(F.col("label"), F.col(id_col)) == F.col(id_col))
+            .alias("is_rep"),
+        )
+    )

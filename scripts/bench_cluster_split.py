@@ -43,6 +43,12 @@ MODES = {
 
 
 def worker(mode: str) -> None:
+    master, conf = MODES[mode]
+    # MUST precede the session import: DEFAULT_CONFS reads this env at
+    # module-import time to align -Xms with spark.driver.memory
+    os.environ["SPARK_DRIVER_MEMORY"] = conf.get("spark.driver.memory",
+                                                 "8g")
+
     from pyspark.sql import functions as F
 
     from paperslicer_spark.functions.text_stats import bind
@@ -52,10 +58,6 @@ def worker(mode: str) -> None:
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     import bench_curation_scaling as bcs
     bcs.REPLICAS = REPLICAS
-
-    master, conf = MODES[mode]
-    os.environ.setdefault("SPARK_DRIVER_MEMORY",
-                          conf.get("spark.driver.memory", "8g"))
     spark = get_spark(app_name=f"cluster-split-{mode}", master=master,
                       shuffle_partitions=32, extra_confs=conf)
     spark.sparkContext.setLogLevel("ERROR")
@@ -94,7 +96,8 @@ def worker(mode: str) -> None:
             F.transform(F.split("text", r"\n\n"), F.md5),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc
-            + F.conv(F.substring(x, 1, 15), 16, 10).cast("bigint"),
+            + F.conv(F.substring(x, 1, 15), 16, 10).cast("bigint")
+            % F.lit(1_000_000_007),
         ).alias("fp"))
     t_map = best_of(lambda: force(map_probe))
     t_full = best_of(lambda: force(paragraph_dedup(withp, "doc_id", "text")))

@@ -733,3 +733,27 @@ def test_repetition_stats_values(spark):
     r2 = repetition_stats(df2, "doc_id", "text").collect()[0]
     assert r2["dup_line_frac"] == 0.5
     assert r2["frac_top_trigram"] == 1.0 and r2["frac_top_fourgram"] == 1.0
+
+
+def test_epoch_mix_plan(spark):
+    from pyspark.sql import functions as F
+
+    from paperslicer_spark.operators.curation import epoch_mix
+
+    rows = [(i, "en", 100) for i in range(10)] + \
+           [(100 + i, "de", 50) for i in range(2)] + \
+           [(200, "fr", 10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, wc long")
+    out = {r["stratum"]: r for r in
+           epoch_mix(df, "lang", F.col("wc"),
+                     weights={"en": 0.5, "de": 0.5},
+                     budget_tokens=2000, max_epochs=3.0,
+                     default_weight=0.0).collect()}
+    # en: 1000 tokens, weight .5 → target 1000 → epochs 1.0
+    assert out["en"]["n_tokens"] == 1000 and out["en"]["epochs"] == 1.0
+    assert out["en"]["effective_tokens"] == 1000
+    # de: 100 tokens, target 1000 → capped at 3 epochs → 300 effective
+    assert out["de"]["epochs"] == 3.0
+    assert out["de"]["effective_tokens"] == 300
+    # fr: unlisted stratum, default weight 0 → zero plan
+    assert out["fr"]["target_tokens"] == 0 and out["fr"]["epochs"] == 0.0

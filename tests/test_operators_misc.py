@@ -751,3 +751,56 @@ def test_range_join_subsecond_boundary_exact(spark):
            range_join(left, right, on="user", ts_col="ts",
                       lower=0.1, upper=0.3).collect()}
     assert got == {"edge", "lo"}
+
+
+def test_semdedup_groups_and_reps(spark):
+    from paperslicer_spark.operators.similarity import semdedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "list_id int, center array<double>")
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.02]),      # cos ~0.9995: dup pair
+         (3, [0.9, -0.1]),                        # cos(1,3) ~0.9939: below
+         (4, [0.0, 1.0]), (5, [0.1, 0.95]),       # cos ~0.9945: below
+         (6, [-0.2, 0.9])],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           semdedup(vecs, cents, threshold=0.995).collect()}
+    assert len(out) == 6
+    assert out[1]["list_id"] == 0 and out[4]["list_id"] == 1
+    # only {1,2} group; everything else is its own representative
+    assert out[1]["rep_id"] == 1 and out[1]["is_rep"]
+    assert out[2]["rep_id"] == 1 and not out[2]["is_rep"]
+    for v in (3, 4, 5, 6):
+        assert out[v]["rep_id"] == v and out[v]["is_rep"]
+    # looser threshold merges the near group transitively
+    out2 = {r["vec_id"]: r["rep_id"] for r in
+            semdedup(vecs, cents, threshold=0.98).collect()}
+    assert out2[1] == out2[2] == out2[3] == 1
+    assert out2[4] == out2[5] == 4 and out2[6] == 6
+
+
+def test_delta_dedup_flags(spark):
+    from paperslicer_spark.operators.dedup import delta_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight nine")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),  # exact
+         (11, "one two three four five six seven eight nine ten"
+              " extra"),                                          # near
+         (12, "totally different unrelated fresh content words"
+              " here now")],                                      # fresh
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           delta_dedup(new, corpus, "doc_id", "text").collect()}
+    assert out[10]["exact_dup"] and not out[10]["keep"]
+    # exact re-crawl also collides on every band (identical sig)
+    assert out[10]["near_dup"]
+    assert not out[11]["exact_dup"] and out[11]["near_dup"]
+    assert not out[11]["keep"]
+    assert out[12]["keep"] and not out[12]["exact_dup"] \
+        and not out[12]["near_dup"]
