@@ -1019,6 +1019,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          default_weight=0.1)
     q["x57_epoch_mix"] = x57_epoch_mix
 
+    def x58_rolling_agg(spark, sf):
+        # per-user trailing-1h count/sum/mean via one RANGE-frame
+        # window over integer epoch-µs — the time-series feature shape
+        from paperslicer_spark.operators.temporal import rolling_agg
+        ev = _t(spark, sf, "events").select(
+            "event_id", "user_id", "ts", "value")
+        return rolling_agg(ev, "user_id", "ts", "value",
+                           window_seconds=3600.0) \
+            .select("event_id", "user_id", "w_count", "w_sum", "w_mean")
+    q["x58_rolling_agg"] = x58_rolling_agg
+
+    def x59_cms_counts(spark, sf):
+        # count-min sketch heavy-hitter estimates vs exact counts:
+        # the fixed-size mergeable-state alternative to a vocab-sized
+        # groupBy; est >= exact always (probe set = exact top 10
+        # + one absent token)
+        from paperslicer_spark.operators.sketch import (cms_estimate,
+                                                        cms_sketch)
+        docs = _t(spark, sf, "documents").where(F.trim("text") != "")
+        toks = docs.select(
+            F.explode(TS.tokens(F.lower(F.col("text")))).alias("token"))
+        sketch = cms_sketch(toks, F.col("token"), depth=4, width=256)
+        exact = toks.groupBy("token").agg(
+            F.count("*").alias("exact"))
+        probes = exact.orderBy(F.col("exact").desc(),
+                               F.col("token").asc()).limit(10) \
+            .unionByName(spark.createDataFrame(
+                [("zz_absent_token", 0)], "token string, exact long"))
+        est = cms_estimate(sketch, probes.select("token"), "token",
+                           depth=4, width=256)
+        return probes.join(est, "token") \
+            .select("token", "exact", "est")
+    q["x59_cms_counts"] = x59_cms_counts
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -2183,6 +2217,62 @@ WITH agg AS (
 SELECT stratum, n_docs, n_tokens, weight, target_tokens, epochs,
   CAST(round(epochs * n_tokens) AS BIGINT) AS effective_tokens
 FROM e
+"""
+
+    # x58: RANGE-frame trailing window — peers at equal ts are
+    # included by both engines' RANGE semantics; integer-µs ordering
+    o["x58_rolling_agg"] = """
+SELECT event_id, user_id,
+  count(*) OVER w AS w_count,
+  round(sum(value) OVER w, 6) AS w_sum,
+  round(avg(value) OVER w, 6) AS w_mean
+FROM (SELECT event_id, user_id, value, epoch_us(ts) AS tus FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY tus
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+    # x59: count-min sketch — same 28-bit md5 base + affine family
+    # (constants from minhash_affine_params, the cannot-drift pattern)
+    _cms_p = DD.minhash_affine_params(4)
+
+    def _cms_bkt(j: int) -> str:
+        a, b = _cms_p[j]
+        return f"((({a} * h + {b}) % {DD.MINHASH_PRIME}) % 256)"
+
+    _cms_sk_union = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_cms_bkt(j)} AS bucket FROM hashes"
+        for j in range(4))
+    _cms_pb_union = " UNION ALL ".join(
+        f"SELECT token, {j} AS j, {_cms_bkt(j)} AS bucket FROM phash"
+        for j in range(4))
+    o["x59_cms_counts"] = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''),
+ hashes AS (
+  SELECT CAST('0x' || substr(md5(token), 1, 7) AS BIGINT) AS h
+  FROM toks),
+ sk AS (
+  SELECT j, bucket, count(*) AS c
+  FROM ({_cms_sk_union}) GROUP BY 1, 2),
+ exact AS (SELECT token, count(*) AS exact FROM toks GROUP BY 1),
+ probes AS (
+  SELECT token, exact FROM exact
+  ORDER BY exact DESC, token ASC LIMIT 10),
+ probes2 AS (
+  SELECT token, exact FROM probes
+  UNION ALL SELECT 'zz_absent_token', 0),
+ phash AS (
+  SELECT token,
+    CAST('0x' || substr(md5(token), 1, 7) AS BIGINT) AS h
+  FROM probes2),
+ est AS (
+  SELECT p.token, min(coalesce(sk.c, 0)) AS est
+  FROM ({_cms_pb_union}) p
+  LEFT JOIN sk ON p.j = sk.j AND p.bucket = sk.bucket
+  GROUP BY 1)
+SELECT p.token, p.exact, e.est
+FROM probes2 p JOIN est e ON p.token = e.token
 """
 
     o["x42_exact_k_sample"] = """

@@ -804,3 +804,59 @@ def test_delta_dedup_flags(spark):
     assert not out[11]["keep"]
     assert out[12]["keep"] and not out[12]["exact_dup"] \
         and not out[12]["near_dup"]
+
+
+def test_asof_join_bucketed_equals_plain(spark):
+    """The skew-safe two-phase asof is row-identical to asof_join on
+    seeded random data, across bucket widths, both tie modes."""
+    import random
+
+    from paperslicer_spark.operators.temporal import (asof_join,
+                                                      asof_join_bucketed)
+
+    rng = random.Random(11)
+    rows_l = [(i, f"u{rng.randrange(5)}", float(rng.randrange(0, 5000)))
+              for i in range(400)]
+    rows_r = [(f"u{rng.randrange(5)}", float(rng.randrange(0, 5000)),
+               f"t{j}") for j in range(300)]
+    L = spark.createDataFrame(rows_l, "event_id long, user string, ts double")
+    R = spark.createDataFrame(rows_r, "user string, ts double, tag string")
+
+    def rowset(df):
+        return sorted((r["event_id"], r["ts_right"], r["tag_right"])
+                      for r in df.collect())
+
+    for strict in (False, True):
+        want = rowset(asof_join(L, R, on="user", ts_col="ts",
+                                strict=strict))
+        for bw in (1.0, 97.0, 1000.0, 10_000.0):
+            got = rowset(asof_join_bucketed(
+                L, R, on="user", ts_col="ts", bucket_seconds=bw,
+                strict=strict))
+            assert got == want, (strict, bw)
+
+
+def test_cms_sketch_bounds_and_merge(spark):
+    """CMS estimates upper-bound exact counts, recover them exactly at
+    low load factor, and two shard sketches MERGE into the corpus
+    sketch (the fixed-size-state property that justifies the op)."""
+    from pyspark.sql import functions as F
+
+    from paperslicer_spark.operators.sketch import cms_estimate, cms_sketch
+
+    rows = [(i, f"w{i % 20}") for i in range(2000)]       # w0..w19 x100
+    df = spark.createDataFrame(rows, "i long, token string")
+    sk = cms_sketch(df, F.col("token"), depth=4, width=64)
+    items = df.select("token").distinct()
+    est = {r["token"]: r["est"] for r in
+           cms_estimate(sk, items, "token", depth=4, width=64).collect()}
+    assert all(v >= 100 for v in est.values())            # upper bound
+    assert sum(v == 100 for v in est.values()) >= 15      # mostly exact
+    # mergeability: shard sketches re-summed == whole-corpus sketch
+    a = cms_sketch(df.where("i % 2 = 0"), F.col("token"), 4, 64)
+    b = cms_sketch(df.where("i % 2 = 1"), F.col("token"), 4, 64)
+    merged = a.unionByName(b).groupBy("j", "bucket") \
+        .agg(F.sum("c").alias("c"))
+    whole = {(r["j"], r["bucket"]): r["c"] for r in sk.collect()}
+    assert {(r["j"], r["bucket"]): r["c"]
+            for r in merged.collect()} == whole
