@@ -102,10 +102,14 @@ def main():
           lambda: force(extract_sections_fused(turns, conv_aligned=True)))
     # analytics headliners over driver tables (x27/x28 = the round-3
     # curation surface: zero-shuffle quality rules + map-side sampling)
+    # (x52/x58 joined in round 5: the C4 zero-shuffle line filter and
+    # the RANGE-frame rolling window — totals are therefore NOT
+    # comparable to BENCH_r04 and earlier; per-entry timings are)
     for name in ["q01_pricing_summary", "q05_priority_concat",
                  "q11_jaccard_pairs", "q12_embedding_topk",
                  "q16_sessionize", "q19_canonical_headings",
-                 "x27_gopher_quality", "x28_stratified_sample"]:
+                 "x27_gopher_quality", "x28_stratified_sample",
+                 "x52_c4_line_filter", "x58_rolling_agg"]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)

@@ -673,6 +673,13 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
     relation is BROADCAST to the scoring join; scoring shuffles only
     the (doc, partial-sum) aggregation. Skew-immune: token frequency
     skew lands in the map-side combiners, not one reducer.
+
+    Plan-audit note: lazily, the token stream is scanned once for the
+    vocab, once for the corpus total, and once for scoring (three
+    corpus scans). Fine at contract scale; a 100 TB run should train
+    the model once (persist ``vocab`` + the total — they ARE the
+    model, cf. the x15 frozen-centroid pattern) and run only the
+    scoring pass per corpus sweep.
     """
     toks = df.where(F.trim(F.col(text_col)) != "") \
         .select(F.col(id_col).alias("doc"),

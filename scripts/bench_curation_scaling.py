@@ -132,6 +132,31 @@ def worker(cores: int) -> None:
         sec = best_of(lambda: force(gopher_quality(docs, "doc_id", "text")))
         out["quality_sec"] = round(sec, 3)
         out["quality_docs_per_sec"] = round(n_docs / sec, 1)
+    if "c4" in JOBS or "repstats" in JOBS:
+        # round-5 zero-shuffle HOF ops over synthesized multi-line text
+        from pyspark.sql import functions as F
+
+        from paperslicer_spark.functions.text_stats import bind
+        from paperslicer_spark.operators.curation import (c4_line_filter,
+                                                          repetition_stats)
+
+        fives = bind(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda t: F.transform(
+                F.sequence(F.lit(0), F.size(t) - 1, F.lit(5)),
+                lambda s: F.array_join(F.slice(t, s + 1, 5), " ")))
+        withl = docs.select(
+            "doc_id", F.array_join(fives, "\n").alias("text"))
+        if "c4" in JOBS:
+            sec = best_of(lambda: force(
+                c4_line_filter(withl, "doc_id", "text", min_words=3)))
+            out["c4_sec"] = round(sec, 3)
+            out["c4_docs_per_sec"] = round(n_docs / sec, 1)
+        if "repstats" in JOBS:
+            sec = best_of(lambda: force(
+                repetition_stats(withl, "doc_id", "text")))
+            out["repstats_sec"] = round(sec, 3)
+            out["repstats_docs_per_sec"] = round(n_docs / sec, 1)
     if "lsh_pairs" in JOBS:
         sec = best_of(lambda: force(
             DD.minhash_lsh_pairs(docs, "doc_id", "text")))
@@ -165,7 +190,7 @@ def orchestrate() -> None:
     lo, hi = CORES[0], CORES[-1]
     ratio = hi / lo
     summary = {"cores": CORES, "ratio": ratio}
-    for job in [j for j in ("quality", "lsh_pairs", "cluster",
+    for job in [j for j in ("quality", "lsh_pairs", "cluster", "c4", "repstats",
                             "pdedup", "decon") if j in JOBS]:
         t_lo = results[lo][f"{job}_sec"]
         t_hi = results[hi][f"{job}_sec"]
