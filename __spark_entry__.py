@@ -1053,6 +1053,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("token", "exact", "est")
     q["x59_cms_counts"] = x59_cms_counts
 
+    def x60_hll_distinct(spark, sf):
+        # HyperLogLog distinct-document count: the fixed-size
+        # mergeable twin of countDistinct over text fingerprints (the
+        # cross-shard "unique docs so far" state) — output = full
+        # 512-register relation (strong value check) + the estimate
+        # and the exact count for calibration
+        from paperslicer_spark.operators.sketch import (hll_estimate,
+                                                        hll_sketch)
+        docs = _t(spark, sf, "documents").where(F.trim("text") != "")
+        items = docs.select(F.md5("text").alias("item"))
+        sk = hll_sketch(items, F.col("item"), p=9)
+        est = hll_estimate(sk, p=9)
+        exact = items.agg(F.countDistinct("item").alias("exact"))
+        return sk.crossJoin(F.broadcast(est)) \
+            .crossJoin(F.broadcast(exact)) \
+            .select("bucket", "r", "m", "nonzero", "est", "exact")
+    q["x60_hll_distinct"] = x60_hll_distinct
+
+    def x64_bloom_gate(spark, sf):
+        # Bloom-filter ingest gate: corpus text-fingerprint set folded
+        # into a 64k-bit relation; probes = every 7th doc's
+        # fingerprint (present) + 30 synthetic absences — membership
+        # flags vs exact truth (no false negatives by construction)
+        from paperslicer_spark.operators.sketch import (bloom_bits,
+                                                        bloom_contains)
+        docs = _t(spark, sf, "documents").where(F.trim("text") != "")
+        items = docs.select(F.md5("text").alias("item"))
+        bits = bloom_bits(items, F.col("item"), m_bits=65536, k=4)
+        sample = docs.where(F.col("doc_id") % 7 == 0) \
+            .select(F.md5("text").alias("item")).distinct()
+        absent = spark.range(30).select(
+            F.concat(F.lit("absent_"), F.col("id")).alias("item"))
+        probes = sample.unionByName(absent)
+        mem = bloom_contains(bits, probes, "item",
+                             m_bits=65536, k=4)
+        present = probes.join(
+            items.distinct().withColumn("_p", F.lit(True)),
+            "item", "left").select(
+            "item", F.coalesce("_p", F.lit(False)).alias("present"))
+        return mem.join(present, "item") \
+            .select("item", "might_contain", "present")
+    q["x64_bloom_gate"] = x64_bloom_gate
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -2273,6 +2316,83 @@ WITH toks AS (
   GROUP BY 1)
 SELECT p.token, p.exact, e.est
 FROM probes2 p JOIN est e ON p.token = e.token
+"""
+
+    # x60: HyperLogLog — the 512-register relation reproduced exactly
+    # from the same 28-bit md5 base hash; the estimate arithmetic is
+    # mirrored term-for-term with the shared hll_alpha literal spliced
+    # into both engines (register sum is exact in double, so the
+    # estimate is bit-deterministic)
+    from paperslicer_spark.operators.sketch import hll_alpha as _hll_a
+    _a512 = repr(_hll_a(512))
+    o["x60_hll_distinct"] = f"""
+WITH toks AS (
+  SELECT md5(text) AS token
+  FROM documents WHERE trim(text) <> ''),
+ h AS (
+  SELECT CAST('0x' || substr(md5(token), 1, 7) AS BIGINT) AS h
+  FROM toks),
+ regs AS (
+  SELECT CAST(h % 512 AS INT) AS bucket,
+    CAST(max(CASE WHEN h // 512 = 0 THEN 20
+             ELSE 20 - length(bin(h // 512)) END) AS INT) AS r
+  FROM h GROUP BY 1),
+ s AS (SELECT count(*) AS nonzero,
+              sum(power(2.0, -r)) AS sp FROM regs),
+ ex AS (SELECT count(DISTINCT token) AS exact FROM toks),
+ est AS (
+  SELECT 512 AS m, nonzero,
+    round(CASE WHEN (CAST({_a512} AS DOUBLE) * 512.0 * 512.0 / (sp + (512 - nonzero)))
+                 <= 1280.0 AND (512 - nonzero) > 0
+          THEN 512.0 * ln(512.0 / (512 - nonzero))
+          ELSE CAST({_a512} AS DOUBLE) * 512.0 * 512.0 / (sp + (512 - nonzero)) END,
+          4) AS est
+  FROM s)
+SELECT regs.bucket, regs.r, est.m, est.nonzero, est.est, ex.exact
+FROM regs, est, ex
+"""
+
+    # x64: Bloom filter — set bits + probe membership under the same
+    # affine family as x59 (k=4, m=65536)
+    _bl_p = DD.minhash_affine_params(4)
+
+    def _bl_bit(j: int) -> str:
+        a, b = _bl_p[j]
+        return f"((({a} * h + {b}) % {DD.MINHASH_PRIME}) % 65536)"
+
+    _bl_bits_union = " UNION ALL ".join(
+        f"SELECT {_bl_bit(j)} AS bit FROM ih" for j in range(4))
+    _bl_pb_union = " UNION ALL ".join(
+        f"SELECT item, {_bl_bit(j)} AS bit FROM ph" for j in range(4))
+    o["x64_bloom_gate"] = f"""
+WITH items AS (
+  SELECT md5(text) AS item FROM documents WHERE trim(text) <> ''),
+ ih AS (SELECT CAST('0x' || substr(md5(item), 1, 7) AS BIGINT) AS h
+        FROM items),
+ bits AS (SELECT DISTINCT bit FROM ({_bl_bits_union})),
+ sample AS (SELECT DISTINCT md5(text) AS item FROM documents
+            WHERE trim(text) <> '' AND doc_id % 7 = 0),
+ probes AS (SELECT item FROM sample
+            UNION ALL
+            SELECT 'absent_' || CAST(i AS VARCHAR)
+            FROM range(30) t(i)),
+ ph AS (SELECT item,
+          CAST('0x' || substr(md5(item), 1, 7) AS BIGINT) AS h
+        FROM probes),
+ pb AS ({_bl_pb_union}),
+ mem AS (
+  SELECT p.item,
+    (sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 4)
+      AS might_contain
+  FROM pb p LEFT JOIN bits b ON p.bit = b.bit GROUP BY 1),
+ pres AS (
+  SELECT pr.item,
+    (max(CASE WHEN it.item IS NOT NULL THEN 1 ELSE 0 END) = 1)
+      AS present
+  FROM probes pr LEFT JOIN (SELECT DISTINCT item FROM items) it
+    ON pr.item = it.item GROUP BY 1)
+SELECT m.item, m.might_contain, p.present
+FROM mem m JOIN pres p ON m.item = p.item
 """
 
     o["x42_exact_k_sample"] = """

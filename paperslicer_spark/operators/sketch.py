@@ -1,9 +1,20 @@
 """Mergeable sketches for corpus-scale frequency analytics.
 
-Count-min sketch (Cormode & Muthukrishnan 2005) as a relational
-operator pair: ``cms_sketch`` folds any item stream into a fixed
-``depth x width`` counter RELATION, and ``cms_estimate`` answers point
-frequency queries with the classic min-over-rows upper bound.
+Three classic fixed-size summaries as relational operator pairs:
+
+- Count-min sketch (Cormode & Muthukrishnan 2005): ``cms_sketch``
+  folds any item stream into a fixed ``depth x width`` counter
+  RELATION; ``cms_estimate`` answers point frequency queries with the
+  classic min-over-rows upper bound.
+- HyperLogLog (Flajolet et al. 2007): ``hll_sketch`` folds a stream
+  into an ``m = 2**p``-register relation; ``hll_estimate`` turns the
+  registers into a cardinality estimate; ``hll_merge`` unions shard
+  sketches into one (register-wise max) — the distinct-count twin of
+  the CMS frequency story.
+- Bloom filter (Bloom 1970): ``bloom_bits`` folds a set into a
+  distinct set-bit relation; ``bloom_contains`` answers membership
+  with no false negatives — the incremental-ingest "seen before?"
+  gate whose state is m bits regardless of corpus size.
 
 Why a sketch when groupBy exists: the sketch is FIXED-SIZE, MERGEABLE
 state. At 100 TB the exact (token, count) relation is corpus-vocab
@@ -80,4 +91,124 @@ def cms_estimate(sketch: DataFrame, items: DataFrame, item_col: str,
         probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+HLL_HASH_BITS = 4 * MINHASH_BASE_HEX  # 28-bit md5 prefix (shared base hash)
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias-correction constant for ``m >= 128``. Shared
+    by the operator and the oracle-SQL generator (spliced as the same
+    repr literal) so the float arithmetic cannot drift."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_sketch(df: DataFrame, item_expr, p: int = 9) -> DataFrame:
+    """Fold ``item_expr`` into an ``m = 2**p`` register relation
+    ``(bucket, r)`` where ``r`` is the max leading-zero rank of the
+    remaining ``28 - p`` hash bits. Fixed-size, map-side-combined
+    (the groupBy ships at most ``m`` rows per partition), and
+    union-mergeable via :func:`hll_merge` — the per-shard /
+    per-day distinct-count state a 100 TB corpus needs where an
+    exact ``countDistinct`` would shuffle the full vocab.
+
+    Rank via bit-length: ``rho = (28 - p) - length(bin(w)) + 1`` for
+    ``w > 0`` (``bin`` renders without leading zeros in both Spark and
+    DuckDB), else ``(28 - p) + 1``.
+    """
+    m = 1 << p
+    rbits = HLL_HASH_BITS - p
+    h = md5_bigint(item_expr.cast("string"), hex_chars=MINHASH_BASE_HEX)
+    hh = df.select(h.alias("_h"))
+    w = F.expr(f"_h DIV {m}")
+    rho = F.when(w == 0, F.lit(rbits + 1)) \
+        .otherwise(F.lit(rbits + 1) - F.length(F.bin(w)))
+    return (
+        hh.select(F.pmod(F.col("_h"), F.lit(m)).cast("int").alias("bucket"),
+                  rho.cast("int").alias("rho"))
+        .groupBy("bucket").agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union shard sketches into one: register-wise max. Lossless —
+    ``hll_merge(sketch(A), sketch(B))`` equals ``sketch(A ∪ B)``
+    exactly (property-tested)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 9) -> DataFrame:
+    """One-row estimate from a register relation: raw estimate
+    ``alpha * m^2 / sum(2^-r)`` (absent buckets contribute ``2^0``),
+    with the standard linear-counting correction ``m * ln(m / V)``
+    when the raw estimate is under ``2.5 m`` and empty registers
+    remain. The register sum is exact in IEEE double (terms span < 53
+    bits), so the estimate is bit-deterministic across engines given
+    the shared ``hll_alpha`` literal."""
+    m = 1 << p
+    alpha = hll_alpha(m)
+    agg = sketch.agg(
+        F.count("*").alias("nonzero"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("_sp"))
+    s_all = F.col("_sp") + (F.lit(m) - F.col("nonzero"))  # absent → 2^0
+    raw = F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) / s_all
+    zeros = F.lit(m) - F.col("nonzero")
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)) \
+        .otherwise(raw)
+    return agg.select(F.lit(m).alias("m"), "nonzero",
+                      F.round(est, 4).alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def bloom_bits(df: DataFrame, item_expr, m_bits: int = 8192,
+               k: int = 4) -> DataFrame:
+    """Fold a set into its distinct set-bit relation ``(bit)`` under
+    ``k`` affine hashes over ``m_bits`` positions. At most ``m_bits``
+    rows regardless of set size; shards merge by plain
+    ``union().distinct()``. The "have we ingested this before?" gate
+    for incremental corpus builds — no false negatives, bounded false
+    positives."""
+    params = minhash_affine_params(k)
+    h = md5_bigint(item_expr.cast("string"), hex_chars=MINHASH_BASE_HEX)
+    return (
+        df.select(h.alias("_h"))
+        .select(F.explode(F.array(*[
+            _bucket(F.col("_h"), params[j], m_bits) for j in range(k)
+        ])).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_contains(bits: DataFrame, probes: DataFrame, item_col: str,
+                   m_bits: int = 8192, k: int = 4) -> DataFrame:
+    """Membership query: an item *might* be present iff all ``k`` of
+    its bits are set. The bit relation is broadcast (≤ ``m_bits``
+    rows by construction) so the probe side never shuffles."""
+    params = minhash_affine_params(k)
+    h = md5_bigint(F.col(item_col).cast("string"),
+                   hex_chars=MINHASH_BASE_HEX)
+    probed = probes.select(
+        F.col(item_col),
+        F.explode(F.array(*[
+            _bucket(h, params[j], m_bits) for j in range(k)
+        ])).alias("bit"))
+    hit = F.when(F.col("_set").isNotNull(), 1).otherwise(0)
+    return (
+        probed.join(F.broadcast(bits.select(F.col("bit"),
+                                            F.lit(1).alias("_set"))),
+                    ["bit"], "left")
+        .groupBy(item_col)
+        .agg((F.sum(hit) == F.lit(k)).alias("might_contain"))
     )

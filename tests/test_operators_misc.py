@@ -860,3 +860,66 @@ def test_cms_sketch_bounds_and_merge(spark):
     whole = {(r["j"], r["bucket"]): r["c"] for r in sk.collect()}
     assert {(r["j"], r["bucket"]): r["c"]
             for r in merged.collect()} == whole
+
+
+def test_hll_sketch_estimate_and_merge(spark):
+    """HLL register relation is fixed-size, the estimate lands within
+    the expected ~1.04/sqrt(m) band, and shard sketches merge
+    LOSSLESSLY (register-wise max == whole-corpus sketch) — the
+    property that makes it per-shard distinct-count state."""
+    from pyspark.sql import functions as F
+
+    from paperslicer_spark.operators.sketch import (hll_estimate,
+                                                    hll_merge,
+                                                    hll_sketch)
+
+    df = spark.range(10000).select(
+        F.concat(F.lit("item_"), F.col("id")).alias("x"))
+    sk = hll_sketch(df, F.col("x"), p=9)
+    assert sk.count() <= 512                              # fixed size
+    est = hll_estimate(sk, p=9).collect()[0]
+    assert abs(est["est"] - 10000) / 10000 < 0.10         # ~2 sigma
+    # duplicates never move the estimate (max is idempotent)
+    dup = hll_sketch(df.unionByName(df), F.col("x"), p=9)
+    assert {(r["bucket"], r["r"]) for r in dup.collect()} == \
+        {(r["bucket"], r["r"]) for r in sk.collect()}
+    # lossless merge of two shard sketches
+    a = hll_sketch(df.where("id < 5000"), F.col("x"), p=9)
+    b = hll_sketch(df.where("id >= 5000"), F.col("x"), p=9)
+    merged = hll_merge(a, b)
+    assert {(r["bucket"], r["r"]) for r in merged.collect()} == \
+        {(r["bucket"], r["r"]) for r in sk.collect()}
+    # small-range linear counting kicks in and is near-exact
+    small = hll_sketch(df.where("id < 40"), F.col("x"), p=9)
+    s_est = hll_estimate(small, p=9).collect()[0]
+    assert abs(s_est["est"] - 40) < 3
+
+
+def test_bloom_filter_gate(spark):
+    """Bloom membership: ZERO false negatives (structural guarantee),
+    false-positive rate near (1-e^{-kn/m})^k, and shard bit relations
+    merge by plain union+distinct."""
+    from pyspark.sql import functions as F
+
+    from paperslicer_spark.operators.sketch import (bloom_bits,
+                                                    bloom_contains)
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("doc_"), F.col("id")).alias("x"))
+    bits = bloom_bits(df, F.col("x"), m_bits=16384, k=4)
+    assert bits.count() <= 16384
+    probes = df.where("id % 10 = 0").unionByName(
+        spark.range(400).select(
+            F.concat(F.lit("nope_"), F.col("id")).alias("x")))
+    got = {r["x"]: r["might_contain"] for r in
+           bloom_contains(bits, probes, "x",
+                          m_bits=16384, k=4).collect()}
+    assert all(got[f"doc_{i}"] for i in range(0, 2000, 10))  # no FN
+    fp = sum(got[f"nope_{i}"] for i in range(400))
+    assert fp / 400 < 0.05   # theory ~0.04 at fill 1-e^{-8000/16384}
+    # shard merge: union+distinct of half-corpus bit relations
+    a = bloom_bits(df.where("id < 1000"), F.col("x"), 16384, 4)
+    b = bloom_bits(df.where("id >= 1000"), F.col("x"), 16384, 4)
+    merged = a.unionByName(b).distinct()
+    assert {r["bit"] for r in merged.collect()} == \
+        {r["bit"] for r in bits.collect()}
