@@ -1071,6 +1071,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("bucket", "r", "m", "nonzero", "est", "exact")
     q["x60_hll_distinct"] = x60_hll_distinct
 
+    def x61_classifier_score(spark, sf):
+        # fastText-style hashed linear quality classifier (the
+        # model-based filtering stage) — integer weights so the score
+        # sum is exact bigint arithmetic in both engines
+        from paperslicer_spark.operators.curation import \
+            hashed_classifier_score
+        docs = _t(spark, sf, "documents").where(F.trim("text") != "")
+        return hashed_classifier_score(docs, "doc_id", "text",
+                                       dim=4096, threshold=0.0)
+    q["x61_classifier_score"] = x61_classifier_score
+
+    def x62_dsir_weights(spark, sf):
+        # DSIR importance weights: log-likelihood ratio of a
+        # target-domain (lang='de') hashed uni+bigram LM vs the
+        # raw-corpus LM — distribution-matching data selection
+        from paperslicer_spark.operators.curation import dsir_weights
+        docs = _t(spark, sf, "documents")
+        target = docs.where(F.col("lang") == "de")
+        return dsir_weights(docs, target, "doc_id", "text", dim=1024)
+    q["x62_dsir_weights"] = x62_dsir_weights
+
     def x64_bloom_gate(spark, sf):
         # Bloom-filter ingest gate: corpus text-fingerprint set folded
         # into a 64k-bit relation; probes = every 7th doc's
@@ -2350,6 +2371,62 @@ WITH toks AS (
   FROM s)
 SELECT regs.bucket, regs.r, est.m, est.nonzero, est.est, ex.exact
 FROM regs, est, ex
+"""
+
+    # x61: hashed linear classifier — integer weights derived from
+    # md5('w:'||bucket), exact bigint sum (HUGEINT cast per the
+    # CLAUDE.md rule), single final division
+    o["x61_classifier_score"] = """
+WITH toks AS (
+  SELECT doc_id AS doc,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+  FROM documents WHERE trim(text) <> ''),
+ w AS (
+  SELECT doc,
+    (CAST('0x' || substr(md5('w:' || CAST(
+        CAST('0x' || substr(md5(t), 1, 7) AS BIGINT) % 4096
+      AS VARCHAR)), 1, 7) AS BIGINT) % 2001) - 1000 AS w
+  FROM toks)
+SELECT doc, count(*) AS n_tokens,
+  CAST(sum(w) AS BIGINT) AS score_raw,
+  round(CAST(sum(w) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+    AS mean_w,
+  (CAST(sum(w) AS BIGINT) > 0.0 * count(*)) AS keep
+FROM w GROUP BY doc
+"""
+
+    # x62: DSIR — hashed uni+bigram features, add-one models over
+    # 1024 buckets, mean log10 ratio (round-6, the x53 precedent)
+    _dsir_grams = """
+  SELECT doc, unnest(CASE WHEN len(tk) < 2 THEN tk
+    ELSE tk || list_transform(range(1, len(tk)),
+                              i -> tk[i] || ' ' || tk[i+1]) END)
+    AS gram
+  FROM (SELECT doc_id AS doc,
+          string_split_regex(trim(lower(text)), '\\s+') AS tk
+        FROM documents WHERE trim(text) <> '' {pred})
+"""
+    o["x62_dsir_weights"] = f"""
+WITH rawg AS (
+  SELECT doc,
+    CAST('0x' || substr(md5(gram), 1, 7) AS BIGINT) % 1024 AS bucket
+  FROM ({_dsir_grams.format(pred="")})),
+ tgtg AS (
+  SELECT doc,
+    CAST('0x' || substr(md5(gram), 1, 7) AS BIGINT) % 1024 AS bucket
+  FROM ({_dsir_grams.format(pred="AND lang = 'de'")})),
+ rc AS (SELECT bucket, count(*) AS cr FROM rawg GROUP BY 1),
+ tc AS (SELECT bucket, count(*) AS ct FROM tgtg GROUP BY 1),
+ nr AS (SELECT count(*) AS nr FROM rawg),
+ nt AS (SELECT count(*) AS nt FROM tgtg)
+SELECT doc, count(*) AS n_features,
+  round(avg(log10((coalesce(ct, 0) + 1.0) / (nt + 1024)) -
+            log10((coalesce(cr, 0) + 1.0) / (nr + 1024))), 6)
+    AS log_ratio
+FROM rawg
+LEFT JOIN rc USING (bucket)
+LEFT JOIN tc USING (bucket), nr, nt
+GROUP BY doc
 """
 
     # x64: Bloom filter — set bits + probe membership under the same

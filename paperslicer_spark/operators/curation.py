@@ -752,3 +752,137 @@ def epoch_mix(df: DataFrame, strata_col: str, token_expr,
                     F.round(F.col("epochs") * F.col("n_tokens"))
                     .cast("bigint"))
     )
+
+
+def hashed_classifier_score(df: DataFrame, id_col: str, text_col: str,
+                            dim: int = 4096, threshold: float = 0.0,
+                            weights: DataFrame | None = None,
+                            salt: str = "w:") -> DataFrame:
+    """fastText-style linear quality classifier over hashed
+    bag-of-words features (the CCNet / DCLM "model-based filtering"
+    stage, with the trained model replaced by a deterministic weight
+    table so both engines reproduce it bit-for-bit).
+
+    Per doc: each token hashes to one of ``dim`` feature buckets; the
+    document score is the mean bucket weight, ``keep`` is a threshold
+    on that mean. Weights are INTEGERS (derived ``md5(salt||bucket) %
+    2001 - 1000`` when no ``weights`` relation is given), so the
+    per-doc sum is exact bigint arithmetic and the only float op is
+    one final division — no cross-engine summation-order risk.
+
+    Scale shape: the default path is a ZERO-SHUFFLE map — one
+    ``F.aggregate`` pass over the token array computes the sum
+    in-row. A real trained model is a ``(bucket, w)`` relation passed
+    via ``weights`` (≤ ``dim`` rows → broadcast hash join on the
+    exploded tokens + one groupBy(doc) shuffle); the two paths are
+    equality-tested.
+    """
+    def bucket_of(tok):
+        return F.pmod(md5_bigint(tok, hex_chars=7), F.lit(dim))
+
+    def weight_of(bucket):
+        return F.pmod(md5_bigint(F.concat(F.lit(salt),
+                                          bucket.cast("string")),
+                                 hex_chars=7),
+                      F.lit(2001)) - F.lit(1000)
+
+    n = F.size(F.col("_toks"))
+    if weights is None:
+        score = F.aggregate(
+            F.col("_toks"), F.lit(0).cast("bigint"),
+            lambda acc, t: acc + weight_of(bucket_of(t)))
+        scored = (
+            df.withColumn("_toks", tokens(F.lower(F.col(text_col))))
+            .select(F.col(id_col).alias("doc"),
+                    n.alias("n_tokens"), score.alias("score_raw"))
+        )
+    else:
+        ex = (
+            df.withColumn("_toks", tokens(F.lower(F.col(text_col))))
+            .select(F.col(id_col).alias("doc"),
+                    F.explode("_toks").alias("_t"))
+            .select("doc", bucket_of(F.col("_t")).alias("bucket"))
+        )
+        scored = (
+            ex.join(F.broadcast(weights), "bucket", "left")
+            .groupBy("doc")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(F.coalesce(F.col("w"), F.lit(0)))
+                 .cast("bigint").alias("score_raw"))
+        )
+    mean_w = F.when(F.col("n_tokens") > 0,
+                    F.round(F.col("score_raw") /
+                            F.col("n_tokens"), 6))
+    return scored.select(
+        "doc", "n_tokens", "score_raw", mean_w.alias("mean_w"),
+        F.coalesce(F.col("score_raw") >
+                   F.lit(float(threshold)) * F.col("n_tokens"),
+                   F.lit(False)).alias("keep"))
+
+
+def classifier_weights(spark, dim: int = 4096,
+                       salt: str = "w:") -> DataFrame:
+    """Materialize :func:`hashed_classifier_score`'s derived weights
+    as the ``(bucket, w)`` relation a real trained model would be —
+    the broadcast-join serving path's input (equality-tested against
+    the zero-shuffle derived path)."""
+    b = F.col("id").cast("int")
+    w = F.pmod(md5_bigint(F.concat(F.lit(salt), b.cast("string")),
+                          hex_chars=7),
+               F.lit(2001)) - F.lit(1000)
+    return spark.range(dim).select(b.alias("bucket"),
+                                   w.cast("bigint").alias("w"))
+
+
+def dsir_weights(df: DataFrame, target: DataFrame, id_col: str,
+                 text_col: str, dim: int = 1024) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc
+    by the log-likelihood ratio of a TARGET-domain hashed n-gram
+    unigram model vs the RAW-corpus model — the distribution-matching
+    alternative to threshold classifiers (x61).
+
+    Features are hashed word uni+bigrams into ``dim`` buckets; both
+    bucket-count models are add-one smoothed. Per doc:
+    ``mean over features of [log10 P_target(b) - log10 P_raw(b)]``
+    (mean, not sum, so the score is length-normalized; round-6 like
+    the x53 LM — the green precedent for cross-engine log parity).
+
+    Scale shape: two bucket-count aggregations whose shuffles are
+    map-side-combined down to ≤ ``dim`` rows per partition; both
+    models broadcast back to the exploded-feature scan; one final
+    groupBy(doc). The target corpus is typically tiny (Wikipedia-like
+    seed) — its scan cost is the floor.
+    """
+    def grams_of(dfin):
+        t = tokens(F.lower(F.col(text_col)))
+        def build(tk):
+            bi = F.transform(
+                F.sequence(F.lit(0), F.size(tk) - 2),
+                lambda i: F.concat_ws(" ", F.slice(tk, i + 1, 2)))
+            return F.when(F.size(tk) < 2, tk) \
+                .otherwise(F.concat(tk, bi))
+        return dfin.select(
+            F.col(id_col).alias("doc"),
+            F.explode(bind(t, build)).alias("gram"),
+        ).select("doc", F.pmod(md5_bigint(F.col("gram"), hex_chars=7),
+                               F.lit(dim)).alias("bucket"))
+
+    raw_g = grams_of(df.where(F.trim(F.col(text_col)) != ""))
+    tgt_g = grams_of(target.where(F.trim(F.col(text_col)) != ""))
+    raw_cnt = raw_g.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt_cnt = tgt_g.groupBy("bucket").agg(F.count("*").alias("ct"))
+    n_raw = raw_g.agg(F.count("*").alias("nr"))
+    n_tgt = tgt_g.agg(F.count("*").alias("nt"))
+    logdiff = (F.log10((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0)) /
+                       (F.col("nt") + F.lit(dim))) -
+               F.log10((F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1.0)) /
+                       (F.col("nr") + F.lit(dim))))
+    return (
+        raw_g.join(F.broadcast(raw_cnt), "bucket", "left")
+        .join(F.broadcast(tgt_cnt), "bucket", "left")
+        .crossJoin(F.broadcast(n_raw)).crossJoin(F.broadcast(n_tgt))
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_features"),
+             F.round(F.avg(logdiff), 6).alias("log_ratio"))
+    )

@@ -757,3 +757,49 @@ def test_epoch_mix_plan(spark):
     assert out["de"]["effective_tokens"] == 300
     # fr: unlisted stratum, default weight 0 → zero plan
     assert out["fr"]["target_tokens"] == 0 and out["fr"]["epochs"] == 0.0
+
+
+def test_hashed_classifier_paths_agree(spark):
+    """The zero-shuffle derived-weight path and the broadcast-join
+    serving path (weights materialized as the (bucket, w) relation a
+    real trained model would be) produce identical scores."""
+    from paperslicer_spark.operators.curation import (
+        classifier_weights, hashed_classifier_score)
+
+    rows = [(i, f"alpha beta gamma delta_{i} epsilon zeta_{i % 7}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = hashed_classifier_score(df, "doc_id", "text", dim=512)
+    w = classifier_weights(spark, dim=512)
+    b = hashed_classifier_score(df, "doc_id", "text", dim=512,
+                                weights=w)
+    ka = {r["doc"]: (r["n_tokens"], r["score_raw"], r["mean_w"],
+                     r["keep"]) for r in a.collect()}
+    kb = {r["doc"]: (r["n_tokens"], r["score_raw"], r["mean_w"],
+                     r["keep"]) for r in b.collect()}
+    assert ka == kb
+    # determinism + keep consistent with the mean threshold
+    for n, s, m, keep in ka.values():
+        assert keep == (s > 0)
+        assert m == round(s / n, 6)
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    """Docs written in the target domain's vocabulary score a higher
+    log-likelihood ratio than off-domain docs (the importance-
+    resampling ordering DSIR exists to produce)."""
+    from paperslicer_spark.operators.curation import dsir_weights
+
+    target_vocab = "physics quantum entangle boson fermion lattice"
+    off_vocab = "recipe butter flour sugar oven whisk"
+    rows = ([(i, target_vocab) for i in range(10)] +
+            [(100 + i, off_vocab) for i in range(10)] +
+            [(200, "physics quantum recipe butter")])     # mixed
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.where("doc_id < 10")
+    out = {r["doc"]: r["log_ratio"]
+           for r in dsir_weights(df, target, "doc_id", "text",
+                                 dim=256).collect()}
+    assert out[0] > out[200] > out[100]
+    # length-normalized: identical docs share one score
+    assert out[0] == out[5] and out[100] == out[105]
