@@ -1092,6 +1092,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dsir_weights(docs, target, "doc_id", "text", dim=1024)
     q["x62_dsir_weights"] = x62_dsir_weights
 
+    def x63_hist_quantiles(spark, sf):
+        # log-binned histogram quantiles: the fixed-size MERGEABLE
+        # alternative to exact ranked-window percentiles (x37) —
+        # per-source word-count p50/p90/p99 as power-of-two bin
+        # lower bounds from a |keys|x64-row histogram relation
+        from paperslicer_spark.operators.sketch import (hist_quantile,
+                                                        hist_sketch)
+        docs = _t(spark, sf, "documents")
+        hist = hist_sketch(docs, "source",
+                           TS.word_count(F.col("text")))
+        return hist_quantile(hist) \
+            .select(F.col("key").alias("source"), "n",
+                    "p50_lo", "p90_lo", "p99_lo")
+    q["x63_hist_quantiles"] = x63_hist_quantiles
+
     def x64_bloom_gate(spark, sf):
         # Bloom-filter ingest gate: corpus text-fingerprint set folded
         # into a 64k-bit relation; probes = every 7th doc's
@@ -1116,6 +1131,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mem.join(present, "item") \
             .select("item", "might_contain", "present")
     q["x64_bloom_gate"] = x64_bloom_gate
+
+    def x65_substring_dedup(spark, sf):
+        # exact substring-level dedup (Lee et al. 2022): every
+        # duplicated 30-char window loses all but its first global
+        # occurrence; docs rebuilt from the surviving char ranges
+        from paperslicer_spark.operators.dedup import substring_dedup
+        docs = _t(spark, sf, "documents").where(F.trim("text") != "")
+        return substring_dedup(docs, "doc_id", "text", min_length=30)
+    q["x65_substring_dedup"] = x65_substring_dedup
 
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
@@ -2427,6 +2451,94 @@ FROM rawg
 LEFT JOIN rc USING (bucket)
 LEFT JOIN tc USING (bucket), nr, nt
 GROUP BY doc
+"""
+
+    # x65: substring dedup — same 5-step recipe in SQL: gram hashes,
+    # rank-per-hash firsts, span islands (two-step window: flag then
+    # cumulative sum), ordered piece concat
+    o["x65_substring_dedup"] = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE trim(text) <> ''),
+ grams AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+    md5(substr(text, CAST(p + 1 AS INT), 30)) AS h
+  FROM docs, UNNEST(range(0, len(text) - 29)) AS u(p)
+  WHERE len(text) >= 30),
+ ranked AS (
+  SELECT doc_id, pos, h,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+    count(*) OVER (PARTITION BY h) AS cnt
+  FROM grams),
+ dup AS (
+  SELECT doc_id, pos AS s, pos + 30 AS e
+  FROM ranked WHERE cnt > 1 AND rn > 1),
+ flag AS (
+  SELECT doc_id, s, e,
+    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      -1) THEN 1 ELSE 0 END AS is_new
+  FROM dup),
+ isl AS (
+  SELECT doc_id, s, e,
+    sum(is_new) OVER (PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flag),
+ merged AS (
+  SELECT doc_id, min(s) AS s, max(e) AS e
+  FROM isl GROUP BY doc_id, island),
+ pieces AS (
+  SELECT doc_id, s, e,
+    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+  FROM merged),
+ agged AS (
+  SELECT p.doc_id, count(*) AS n_spans,
+    CAST(sum(e - s) AS BIGINT) AS chars_removed,
+    max(e) AS last_e,
+    string_agg(substr(d.text, CAST(pe + 1 AS INT),
+                      CAST(s - pe AS INT)), '' ORDER BY s) AS kept
+  FROM pieces p JOIN docs d USING (doc_id) GROUP BY p.doc_id)
+SELECT d.doc_id AS doc,
+  CASE WHEN a.doc_id IS NULL THEN d.text
+       ELSE coalesce(a.kept, '') ||
+            substr(d.text, CAST(a.last_e + 1 AS INT)) END AS text_clean,
+  coalesce(a.n_spans, 0) AS n_spans,
+  coalesce(a.chars_removed, 0) AS chars_removed
+FROM docs d LEFT JOIN agged a USING (doc_id)
+"""
+
+    # x63: log-binned histogram quantiles — bin = bit_length(words)
+    # via length(bin(v)) in both engines; quantile = lower bound of
+    # the first bin whose cumulative count reaches ceil(q*n)
+    o["x63_hist_quantiles"] = f"""
+WITH vals AS (
+  SELECT source, CAST({_WORDS_EXPR} AS BIGINT) AS v FROM documents),
+ hist AS (
+  SELECT source,
+    CAST(CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS INT)
+      AS bin,
+    count(*) AS c
+  FROM vals GROUP BY 1, 2),
+ cums AS (
+  SELECT source, bin, c,
+    sum(c) OVER (PARTITION BY source ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum,
+    sum(c) OVER (PARTITION BY source) AS n
+  FROM hist),
+ picks AS (
+  SELECT source, max(n) AS n,
+    min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) AS b50,
+    min(CASE WHEN cum >= ceil(0.9 * n) THEN bin END) AS b90,
+    min(CASE WHEN cum >= ceil(0.99 * n) THEN bin END) AS b99
+  FROM cums GROUP BY 1)
+SELECT source, n,
+  CASE WHEN b50 <= 0 THEN 0 ELSE CAST(1 AS BIGINT) << (b50 - 1) END
+    AS p50_lo,
+  CASE WHEN b90 <= 0 THEN 0 ELSE CAST(1 AS BIGINT) << (b90 - 1) END
+    AS p90_lo,
+  CASE WHEN b99 <= 0 THEN 0 ELSE CAST(1 AS BIGINT) << (b99 - 1) END
+    AS p99_lo
+FROM picks
 """
 
     # x64: Bloom filter — set bits + probe membership under the same

@@ -641,3 +641,106 @@ def delta_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
         )
         .withColumn("keep", ~F.col("exact_dup") & ~F.col("near_dup"))
     )
+
+
+def substring_dedup(df: DataFrame, id_col: str, text_col: str,
+                    min_length: int = 30) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): any length-``L``
+    character window whose content appears elsewhere in the corpus is
+    removed, keeping only its FIRST occurrence (global ``(doc, pos)``
+    order). Catches boilerplate/quote/template overlap that document-
+    and paragraph-level dedup (q06/x40) both miss.
+
+    Relational recipe (the distributed stand-in for the paper's
+    single-node suffix array):
+    1. every char position emits its L-gram md5 — the gram array is
+       built per-row with one ``transform`` over a position sequence
+       (text is a plain column attribute, so the HOF lambda is safe
+       under the no-CSE rule) and dropped immediately after hashing;
+    2. first occurrence per hash via ``groupBy(h).agg(min(struct(doc,
+       pos)), count)`` — MAP-SIDE COMBINED, so a boilerplate gram
+       repeated 10^6 times ships one partial row per partition
+       instead of 10^6 rows into one hash partition (this is why it
+       is not a rank-window over ``h``); occurrences rejoin on ``h``
+       (AQE skew-join covers residual hot grams);
+    3. duplicate spans ``[pos, pos+L)`` merge into islands per doc
+       (running-max-end gaps-and-islands window over the SPAN
+       relation, which is corpus-duplication-sized, not corpus-sized);
+    4. docs rebuild by cutting merged spans (JVM ``substr`` pieces +
+       one ordered concat) — span-free docs pass through untouched.
+
+    Scale note: step 1 is a deliberate len(text)× row fan-out of
+    (doc, pos, 16-byte hash) triples — the price of exactness; at
+    100 TB run it per-shard with a stride >1 on the probe side (the
+    standard recall/cost dial) or feed MinHash candidates first.
+
+    Returns (doc, text_clean, n_spans, chars_removed).
+    """
+    L = min_length
+    W = Window
+    doc = F.col(id_col)
+    text = F.col(text_col)
+    base = df.select(doc.alias("doc"), text.alias("_text")) \
+        .where(F.trim("_text") != "")
+
+    grams_arr = F.transform(
+        F.sequence(F.lit(0), F.length("_text") - L),
+        lambda i: F.md5(F.col("_text").substr(i + 1, F.lit(L))))
+    grams = (
+        base.where(F.length("_text") >= L)
+        .select("doc", F.posexplode(grams_arr).alias("pos", "h"))
+        .select("doc", F.col("pos").cast("bigint").alias("pos"), "h")
+    )
+    firsts = grams.groupBy("h").agg(
+        F.min(F.struct("doc", "pos")).alias("_first"),
+        F.count("*").alias("_cnt"))
+    dup = (
+        grams.join(firsts.where(F.col("_cnt") > 1), "h")
+        .where((F.col("doc") != F.col("_first.doc")) |
+               (F.col("pos") != F.col("_first.pos")))
+        .select("doc", F.col("pos").alias("s"),
+                (F.col("pos") + L).alias("e"))
+    )
+    prev_max_e = F.max("e").over(
+        W.partitionBy("doc").orderBy("s")
+        .rowsBetween(W.unboundedPreceding, -1))
+    flagged = dup.withColumn(
+        "_new", (F.col("s") > F.coalesce(prev_max_e, F.lit(-1)))
+        .cast("int"))
+    island = F.sum("_new").over(
+        W.partitionBy("doc").orderBy("s")
+        .rowsBetween(W.unboundedPreceding, 0))
+    merged = (
+        flagged.withColumn("_isl", island)
+        .groupBy("doc", "_isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    lag_e = F.lag("e").over(W.partitionBy("doc").orderBy("s"))
+    j = (
+        base.join(merged.select("doc", "s", "e"), "doc", "left")
+        .withColumn("_pe", F.coalesce(lag_e, F.lit(0)))
+        .withColumn("_piece",
+                    F.col("_text").substr((F.col("_pe") + 1).cast("int"),
+                                          (F.col("s") - F.col("_pe"))
+                                          .cast("int")))
+    )
+    agged = j.groupBy("doc").agg(
+        F.first("_text").alias("_text"),
+        F.count("s").alias("n_spans"),
+        F.coalesce(F.sum(F.col("e") - F.col("s")), F.lit(0))
+        .cast("bigint").alias("chars_removed"),
+        F.coalesce(F.max("e"), F.lit(0)).alias("_last_e"),
+        F.array_join(F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("s").isNotNull(),
+                       F.struct("s", "_piece")))),
+            lambda st: st["_piece"]), "").alias("_kept"))
+    tail = F.col("_text").substr(
+        (F.col("_last_e") + 1).cast("int"),
+        F.length("_text").cast("int"))
+    return agged.select(
+        "doc",
+        F.concat(F.col("_kept"), tail).alias("text_clean"),
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        "chars_removed")

@@ -212,3 +212,57 @@ def bloom_contains(bits: DataFrame, probes: DataFrame, item_col: str,
         .groupBy(item_col)
         .agg((F.sum(hit) == F.lit(k)).alias("might_contain"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-binned histogram (mergeable quantile state)
+# ---------------------------------------------------------------------------
+
+def hist_sketch(df: DataFrame, key_col: str, value_expr) -> DataFrame:
+    """Fold non-negative integer values into a per-key LOG-BINNED
+    histogram relation ``(key, bin, c)`` — ``bin = bit_length(v)``
+    (0 for ``v <= 0``), i.e. one bin per power-of-two octave, ≤ 64
+    bins per key regardless of value range. The mergeable quantile
+    state the exact ranked-window percentiles (metrics.
+    exact_percentiles) cannot be: shard histograms SUM-merge, stream
+    micro-batches fold in, and the whole relation is
+    ``|keys| * 64`` rows. Trade: quantiles come back as bin lower
+    bounds (one-octave resolution)."""
+    v = value_expr.cast("bigint")
+    b = F.when(v <= 0, F.lit(0)).otherwise(F.length(F.bin(v)))
+    return (
+        df.select(F.col(key_col).alias("key"),
+                  b.cast("int").alias("bin"))
+        .groupBy("key", "bin").agg(F.count("*").alias("c"))
+    )
+
+
+def hist_quantile(hist: DataFrame, qs: tuple = (0.5, 0.9, 0.99)
+                  ) -> DataFrame:
+    """Per-key quantile estimates from a histogram relation: for each
+    ``q``, the LOWER BOUND (``2^(bin-1)``, 0 for bin 0) of the first
+    bin whose cumulative count reaches ``ceil(q * n)``. Runs entirely
+    on the tiny histogram relation — one window + one groupBy over
+    ``|keys| * 64`` rows, never touching the corpus again."""
+    from pyspark.sql import Window as W
+    cum = F.sum("c").over(
+        W.partitionBy("key").orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, 0))
+    n = F.sum("c").over(W.partitionBy("key"))
+    with_cum = hist.select("key", "bin", "c", cum.alias("_cum"),
+                           n.alias("_n"))
+    lo = [F.min(F.when(F.col("_cum") >=
+                       F.ceil(F.lit(float(q)) * F.col("_n")),
+                       F.col("bin"))).alias(f"_b{i}")
+          for i, q in enumerate(qs)]
+    agged = with_cum.groupBy("key").agg(
+        F.max("_n").alias("n"), *lo)
+
+    def bound(bcol):
+        # 2^(bin-1) via double pow (exact through 2^53; bins for
+        # int64 values stop at 63 ≫ any real count here)
+        return F.when(bcol <= 0, F.lit(0).cast("bigint")) \
+            .otherwise(F.pow(F.lit(2.0), bcol - 1).cast("bigint"))
+    outs = [bound(F.col(f"_b{i}")).alias(f"p{int(round(q * 100))}_lo")
+            for i, q in enumerate(qs)]
+    return agged.select("key", "n", *outs)

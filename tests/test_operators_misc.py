@@ -923,3 +923,92 @@ def test_bloom_filter_gate(spark):
     merged = a.unionByName(b).distinct()
     assert {r["bit"] for r in merged.collect()} == \
         {r["bit"] for r in bits.collect()}
+
+
+def test_substring_dedup_vs_python_reference(spark):
+    """Full differential vs an independent pure-Python transcription
+    of the spec (first global (doc,pos) occurrence survives; spans
+    merge; docs rebuild) — covers embedded copies, self-duplication
+    within one doc, under-length docs, and untouched docs."""
+    from collections import defaultdict
+
+    from paperslicer_spark.operators.dedup import substring_dedup
+
+    sent = ("The quick brown fox jumps over the lazy dog near "
+            "the river bank today.")
+    docs = [
+        (1, sent),
+        (2, f"Intro text. {sent} Outro."),
+        (3, "Unrelated content entirely different from everything "
+            "else in this corpus okay."),
+        (4, f"AAA {sent} BBB {sent}"),                # self-dup too
+        (5, "short"),
+    ]
+    L = 30
+    occ = defaultdict(list)
+    for d, t in docs:
+        for p in range(0, max(0, len(t) - L + 1)):
+            occ[t[p:p + L]].append((d, p))
+    spans = defaultdict(list)
+    for lst in occ.values():
+        if len(lst) > 1:
+            first = min(lst)
+            spans_for = [x for x in lst if x != first]
+            for d, p in spans_for:
+                spans[d].append((p, p + L))
+    expected = {}
+    for d, t in docs:
+        merged = []
+        for s, e in sorted(spans.get(d, [])):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        kept, cur = [], 0
+        for s, e in merged:
+            kept.append(t[cur:s])
+            cur = e
+        kept.append(t[cur:])
+        expected[d] = ("".join(kept), len(merged),
+                       sum(e - s for s, e in merged))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc"]: (r["text_clean"], r["n_spans"],
+                      r["chars_removed"])
+           for r in substring_dedup(df, "doc_id", "text", 30)
+           .collect()}
+    assert out == expected
+    # the first occurrence's own doc keeps exactly one copy
+    assert sent in out[1][0]
+    assert sent not in out[2][0] and sent not in out[4][0]
+
+
+def test_hist_sketch_quantiles_and_merge(spark):
+    """Log-binned histogram: quantile lower bounds bracket the true
+    quantile within one octave, and shard histograms SUM-merge into
+    the corpus histogram exactly."""
+    from pyspark.sql import functions as F
+
+    from paperslicer_spark.operators.sketch import (hist_quantile,
+                                                    hist_sketch)
+
+    # values 1..1000 for one key: true p50=500 (bin 9, lo 256),
+    # p90=900 (bin 10, lo 512), p99=990 (bin 10)
+    df = spark.range(1, 1001).select(F.lit("k").alias("src"),
+                                     F.col("id").alias("v"))
+    h = hist_sketch(df, "src", F.col("v"))
+    out = hist_quantile(h).collect()[0]
+    assert out["n"] == 1000
+    assert out["p50_lo"] == 256 and 256 <= 500 < 512
+    assert out["p90_lo"] == 512 and out["p99_lo"] == 512
+    # lower bound property: lo <= true quantile < 2*lo
+    for lo, true_q in [(out["p50_lo"], 500), (out["p90_lo"], 900),
+                       (out["p99_lo"], 990)]:
+        assert lo <= true_q < 2 * lo
+    # sum-merge of shard histograms == corpus histogram
+    a = hist_sketch(df.where("v <= 500"), "src", F.col("v"))
+    b = hist_sketch(df.where("v > 500"), "src", F.col("v"))
+    merged = a.unionByName(b).groupBy("key", "bin") \
+        .agg(F.sum("c").alias("c"))
+    assert {(r["key"], r["bin"], r["c"]) for r in merged.collect()} \
+        == {(r["key"], r["bin"], r["c"]) for r in h.collect()}
