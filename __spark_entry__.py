@@ -1141,6 +1141,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return substring_dedup(docs, "doc_id", "text", min_length=30)
     q["x65_substring_dedup"] = x65_substring_dedup
 
+    def x66_kmeans_lloyd(spark, sf):
+        # distributed Lloyd k-means (the coarse-quantizer TRAINER the
+        # frozen x15/x55 centroids come from): seeded-hash init, two
+        # broadcast-argmin + partial-agg mean iterations, final
+        # assignment with 6dp cross-engine distance rounding
+        from paperslicer_spark.operators.similarity import kmeans_lloyd
+        emb = _t(spark, sf, "embeddings")
+        return kmeans_lloyd(emb, k=8, iters=2, dim=64)
+    q["x66_kmeans_lloyd"] = x66_kmeans_lloyd
+
+    def x67_weighted_sample(spark, sf):
+        # Efraimidis-Spirakis priority sample, weight = word count:
+        # token-proportional corpus sampling via TakeOrderedAndProject
+        # (per-partition k-row heaps, no global sort/window)
+        from paperslicer_spark.operators.curation import weighted_sample
+        docs = _t(spark, sf, "documents")
+        return weighted_sample(docs, "doc_id",
+                               TS.word_count(F.col("text")), k=100)
+    q["x67_weighted_sample"] = x67_weighted_sample
+
+    def x68_canonical_keep(spark, sf):
+        # end-to-end near-dup keep list: x26's LSH+CC clusters, but
+        # keeping the BEST doc per cluster (max word count, tie min
+        # id) instead of the arbitrary min-id representative;
+        # singletons keep themselves
+        from paperslicer_spark.operators.dedup import canonical_keep
+        return canonical_keep(_t(spark, sf, "documents"),
+                              "doc_id", "text", n=3,
+                              num_hashes=12, bands=4)
+    q["x68_canonical_keep"] = x68_canonical_keep
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -2506,6 +2537,72 @@ SELECT d.doc_id AS doc,
 FROM docs d LEFT JOIN agged a USING (doc_id)
 """
 
+    # x66: unrolled 2-iteration Lloyd k-means — seeded (md5, id) init,
+    # 6dp-rounded distances with list_id tiebreak, 6dp-rounded per-dim
+    # means between iterations (identical cross-engine centroids)
+    def _km_iter(cent_cte: str, i: int) -> str:
+        return f"""
+ s{i} AS (
+  SELECT vec_id, list_id,
+    round(list_distance(v, center), 6) AS d
+  FROM v CROSS JOIN {cent_cte}),
+ a{i} AS (
+  SELECT vec_id, list_id, d FROM (
+    SELECT s{i}.*, row_number() OVER (PARTITION BY vec_id
+      ORDER BY d, list_id) AS r FROM s{i}) WHERE r = 1),
+ m{i} AS (
+  SELECT a{i}.list_id, p AS ord,
+    round(avg(v.v[CAST(p + 1 AS INT)]), 6) AS m
+  FROM a{i} JOIN v USING (vec_id), UNNEST(range(0, 64)) AS u(p)
+  GROUP BY 1, 2),
+ c{i} AS (
+  SELECT list_id, list(m ORDER BY ord) AS center
+  FROM m{i} GROUP BY 1)"""
+
+    o["x66_kmeans_lloyd"] = f"""
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+ seeds AS (
+  SELECT vec_id, v, row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM v),
+ c0 AS (
+  SELECT CAST(rn AS INT) AS list_id,
+    list_transform(v, x -> round(x, 6)) AS center
+  FROM seeds WHERE rn <= 8),{_km_iter("c0", 1)},{_km_iter("c1", 2)},
+ sF AS (
+  SELECT vec_id, list_id,
+    round(list_distance(v, center), 6) AS d
+  FROM v CROSS JOIN c2)
+SELECT vec_id, list_id, d AS dist FROM (
+  SELECT sF.*, row_number() OVER (PARTITION BY vec_id
+    ORDER BY d, list_id) AS r FROM sF) WHERE r = 1
+"""
+
+    # x67: Efraimidis-Spirakis priority sample — u from the 60-bit
+    # md5 prefix, key = ln(u)/w rounded 6dp; the (CAST(h AS DOUBLE)
+    # + 1) form mirrors Spark's cast-then-add exactly (a bigint
+    # h+1-then-cast can differ by 1 ulp near 2^60)
+    o["x67_weighted_sample"] = f"""
+WITH b AS (
+  SELECT doc_id, CAST({_WORDS_EXPR} AS DOUBLE) AS w,
+    CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+         1, 15) AS BIGINT) AS h
+  FROM documents),
+ keyed AS (
+  SELECT doc_id, CAST(w AS BIGINT) AS weight,
+    round(ln((CAST(h AS DOUBLE) + 1) / 1152921504606846977.0) / w, 6)
+      AS key
+  FROM b WHERE w > 0),
+ ranked AS (
+  SELECT doc_id, weight, key, CAST(row_number() OVER (
+    ORDER BY key DESC, doc_id) AS BIGINT) AS rank
+  FROM keyed)
+SELECT doc_id, weight, key, rank FROM ranked WHERE rank <= 100
+"""
+
     # x63: log-binned histogram quantiles — bin = bit_length(words)
     # via length(bin(v)) in both engines; quantile = lower bound of
     # the first bin whose cumulative count reaches ceil(q*n)
@@ -2885,6 +2982,40 @@ WITH RECURSIVE {_GRAMS_CTE},
 SELECT node AS doc, least(node, min(other)) AS cluster,
   least(node, min(other)) = node AS is_rep
 FROM reach GROUP BY node
+"""
+
+    # x68: x26's recursive-CC cluster CTE + keep-best-by-quality
+    # (max word count, tie min doc id); singletons (no edge) keep
+    # themselves via the left join + coalesce
+    o["x68_canonical_keep"] = f"""
+WITH RECURSIVE {_GRAMS_CTE},
+ sig AS (SELECT doc, {", ".join(_mh_expr(j) for j in range(12))}
+         FROM sh GROUP BY doc),
+ banded AS ({bands_union}),
+ pairs AS (
+   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+   FROM banded a
+   JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+     AND a.doc < b.doc),
+ edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+ reach AS (
+   SELECT s AS node, d AS other FROM edges
+   UNION
+   SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.other),
+ cc AS (
+   SELECT node AS doc, least(node, min(other)) AS cluster
+   FROM reach GROUP BY node),
+ base AS (
+   SELECT doc_id AS doc, CAST({_WORDS_EXPR} AS BIGINT) AS quality
+   FROM documents),
+ labeled AS (
+   SELECT b.doc, coalesce(cc.cluster, b.doc) AS cluster, b.quality
+   FROM base b LEFT JOIN cc ON cc.doc = b.doc)
+SELECT doc, cluster, quality,
+  row_number() OVER (PARTITION BY cluster
+    ORDER BY quality DESC, doc) = 1 AS keep
+FROM labeled
 """
 
     # x27: Gopher-style quality rules (shape stats JVM-side in Spark;

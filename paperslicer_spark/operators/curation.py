@@ -886,3 +886,46 @@ def dsir_weights(df: DataFrame, target: DataFrame, id_col: str,
         .agg(F.count("*").alias("n_features"),
              F.round(F.avg(logdiff), 6).alias("log_ratio"))
     )
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_expr,
+                    k: int = 100, salt: str = "wsample:") -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis
+    2006 priority sampling): each row gets the key ``ln(u) / w`` from
+    a deterministic uniform ``u`` (seeded md5 of the id, the engine's
+    standard no-``rand()`` rule) and weight ``w``; the ``k`` largest
+    keys are the sample. Heavier rows win more often in exact
+    proportion to their weight — the "sample documents proportional
+    to their token count" operator a training-mix pipeline needs
+    where uniform sampling (x28/x42) would over-represent short docs.
+
+    Rows with ``w <= 0`` are excluded (they can never be drawn).
+    Keys are rounded to 6dp before ranking (ties broken by id) so the
+    SQL oracle's libm agrees bit-for-bit after rounding.
+
+    Scale: the global top-k is ``orderBy().limit(k)`` — Spark's
+    TakeOrderedAndProject keeps a k-row heap PER PARTITION and merges
+    k-row partials on the driver; no global sort, no single-partition
+    window over the corpus. Only the final rank assignment (a window
+    over the k surviving rows) is single-partition, and k is small by
+    contract.
+
+    Returns ``(id, weight, key, rank)`` for the k sampled rows.
+    """
+    from pyspark.sql import Window
+
+    two60 = float((1 << 60) + 1)
+    u = (md5_bigint(F.col(id_col).cast("string"), salt=salt)
+         .cast("double") + F.lit(1.0)) / F.lit(two60)
+    w = weight_expr.cast("double")
+    keyed = (
+        df.select(F.col(id_col), w.alias("weight"))
+        .where(F.col("weight") > 0)
+        .withColumn("key", F.round(F.log(u) / F.col("weight"), 6))
+    )
+    topk = keyed.orderBy(F.col("key").desc(), F.col(id_col)).limit(k)
+    rank_w = Window.orderBy(F.col("key").desc(), F.col(id_col))
+    return topk.withColumn(
+        "rank", F.row_number().over(rank_w).cast("bigint")).select(
+        id_col, F.col("weight").cast("bigint").alias("weight"),
+        "key", "rank")

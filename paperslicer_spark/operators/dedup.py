@@ -744,3 +744,45 @@ def substring_dedup(df: DataFrame, id_col: str, text_col: str,
         F.concat(F.col("_kept"), tail).alias("text_clean"),
         F.col("n_spans").cast("bigint").alias("n_spans"),
         "chars_removed")
+
+
+def canonical_keep(df: DataFrame, id_col: str, text_col: str,
+                   quality_expr=None, n: int = 3, num_hashes: int = 12,
+                   bands: int = 4) -> DataFrame:
+    """The end-to-end near-dup KEEP LIST a curation pipeline actually
+    ships: cluster near-duplicates (MinHash-LSH pairs → connected
+    components, the x26 machinery) and keep the BEST document of each
+    cluster by a quality score (default: word count) instead of x26's
+    arbitrary min-id representative — "of these 40 mirror copies,
+    keep the longest one".
+
+    Every corpus doc appears in the output: singletons (no near-dup
+    edge) form their own cluster and keep themselves. Ties on quality
+    break by minimum id, so the choice is deterministic and
+    SQL-replayable.
+
+    Scale: the pairs/CC relations are DUPLICATION-sized, not
+    corpus-sized; the corpus itself is touched by one left join on id
+    (to attach cluster labels) and one per-cluster window whose
+    partitions are cluster-sized — bounded by the duplication degree
+    the LSH bands admit, never the corpus.
+
+    Returns ``(doc, cluster, quality, keep)``.
+    """
+    from paperslicer_spark.functions.text_stats import word_count
+
+    if quality_expr is None:
+        quality_expr = word_count(F.col(text_col))
+    clusters = dup_clusters(df, id_col, text_col, n=n,
+                            num_hashes=num_hashes, bands=bands)
+    base = df.select(F.col(id_col).alias("doc"),
+                     quality_expr.cast("bigint").alias("quality"))
+    labeled = (
+        base.join(clusters.select("doc", "cluster"), "doc", "left")
+        .withColumn("cluster", F.coalesce("cluster", F.col("doc")))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), F.col("doc"))
+    return labeled.withColumn(
+        "keep", F.row_number().over(w) == 1).select(
+        "doc", "cluster", "quality", "keep")

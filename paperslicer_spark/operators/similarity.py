@@ -362,3 +362,87 @@ def semdedup(corpus: DataFrame, centroids: DataFrame,
             .alias("is_rep"),
         )
     )
+
+
+def kmeans_lloyd(corpus: DataFrame, k: int = 8, iters: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int | None = None) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the
+    trainer for the coarse quantizers the IVF/SemDeDup paths consume
+    frozen (x15/x55 read their centroids as given; this is where they
+    come from).
+
+    Fully deterministic and SQL-replayable:
+    - init: the ``k`` vectors with the smallest ``(md5(id), id)`` —
+      a seeded shuffle, not ``rand()``;
+    - assignment: broadcast centroids, per-row argmin of the
+      6dp-rounded Euclidean distance with ``list_id`` tiebreak (the
+      x15 cross-engine tie rule);
+    - update: per-dimension mean, rounded to 6dp BEFORE the next
+      assignment so both engines iterate from bit-identical centroids
+      (double-summation order jitter lives below the rounding grid).
+
+    Spark shape per iteration: one broadcast of the k×dim centroid
+    relation + one ``groupBy(id).agg(min(struct(dist, list_id)))``
+    argmin (map-side combined) + one ``groupBy(list_id)`` update agg
+    whose partials are ``k × (dim + 1)`` doubles per partition — the
+    corpus is scanned ``iters + 1`` times and never shuffled by more
+    than the thin ``(id, list_id)`` assignment. The per-dim means are
+    ``dim`` independent ``avg`` columns (codegen partial agg), not an
+    explode — the update shuffle carries k rows per partition.
+
+    An empty cluster simply drops out (both engines derive the next
+    round's centroid relation from the same assignment), matching the
+    unrolled SQL oracle. Returns the final assignment
+    ``(id, list_id, dist)``.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    v = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col),
+                    lambda x: x.cast("double")).alias("_v"))
+
+    # seeded init: global top-k by (md5(id), id) is a
+    # TakeOrderedAndProject (per-partition top-k, k-row driver
+    # merge), NEVER a global window sort of the corpus; the
+    # row_number that assigns list_id runs on the k-row result
+    seed_h = F.md5(F.col("_id").cast("string"))
+    seeds = v.select("_id", "_v", seed_h.alias("_h")) \
+        .orderBy("_h", "_id").limit(k)
+    cents = (
+        seeds.withColumn(
+            "list_id",
+            F.row_number().over(Window.orderBy("_h", "_id"))
+            .cast("int"))
+        .select("list_id",
+                F.transform("_v", lambda x: F.round(x, 6))
+                .alias("center"))
+    )
+
+    def _assign(cent_df):
+        scored = v.crossJoin(F.broadcast(cent_df)).select(
+            "_id", "list_id",
+            F.round(euclid(F.col("_v"), F.col("center")), 6)
+            .alias("dist"))
+        best = scored.groupBy("_id").agg(
+            F.min(F.struct("dist", "list_id")).alias("_b"))
+        return best.select("_id", F.col("_b.list_id").alias("list_id"),
+                           F.col("_b.dist").alias("dist"))
+
+    for _ in range(iters):
+        assigned = _assign(cents)
+        means = [F.round(F.avg(F.col("_v").getItem(i)), 6)
+                 .alias(f"_m{i}") for i in range(dim)]
+        cents = (
+            assigned.join(v, "_id")
+            .groupBy("list_id")
+            .agg(*means)
+            .select("list_id",
+                    F.array(*[F.col(f"_m{i}") for i in range(dim)])
+                    .alias("center"))
+        )
+
+    return _assign(cents).select(
+        F.col("_id").alias(id_col), "list_id", "dist")

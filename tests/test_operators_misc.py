@@ -1012,3 +1012,106 @@ def test_hist_sketch_quantiles_and_merge(spark):
         .agg(F.sum("c").alias("c"))
     assert {(r["key"], r["bin"], r["c"]) for r in merged.collect()} \
         == {(r["key"], r["bin"], r["c"]) for r in h.collect()}
+
+
+def test_canonical_keep_best_per_cluster(spark):
+    """Keep list: the longest doc of each near-dup cluster survives,
+    singletons keep themselves, every corpus doc appears once."""
+    from paperslicer_spark.operators.dedup import canonical_keep
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "the quick brown fox jumps over the lazy dog again today"),
+        (3, "the quick brown fox jumps over the lazy dog again today "
+            "with extra trailing words making this copy the longest"),
+        (4, "completely different words entirely unrelated content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r for r in
+           canonical_keep(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # 1/2/3 cluster together; 3 is longest → the keeper
+    assert out[1]["cluster"] == out[2]["cluster"] == out[3]["cluster"]
+    assert out[3]["keep"] and not out[1]["keep"] and not out[2]["keep"]
+    # singleton keeps itself, cluster = own id
+    assert out[4]["keep"] and out[4]["cluster"] == 4
+    # tie on quality breaks by min id
+    tie = spark.createDataFrame(rows[:2], "doc_id long, text string")
+    t = {r["doc"]: r["keep"] for r in
+         canonical_keep(tie, "doc_id", "text").collect()}
+    assert t == {1: True, 2: False}
+
+
+def test_weighted_sample_differential(spark):
+    """Efraimidis-Spirakis priority sample vs an independent pure-
+    Python transcription: same u, same key, same top-k, same ranks."""
+    import hashlib
+    import math
+
+    from paperslicer_spark.operators.curation import weighted_sample
+
+    rows = [(i, (i % 7) + (0 if i % 11 else -i)) for i in range(1, 401)]
+    # weights: mostly 1..7, every 11th negative/zero → excluded
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    def key_of(i, w):
+        h = int(hashlib.md5(f"wsample:{i}".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / float((1 << 60) + 1)
+        return round(math.log(u) / w, 6)
+
+    expect = sorted(
+        ((key_of(i, w), i, w) for i, w in rows if w > 0),
+        key=lambda t: (-t[0], t[1]))[:25]
+    out = weighted_sample(df, "doc_id", F.col("w"), k=25).collect()
+    got = [(r["key"], r["doc_id"], r["weight"]) for r in
+           sorted(out, key=lambda r: r["rank"])]
+    assert [pytest.approx(k) for k, *_ in expect] == [k for k, *_ in got]
+    assert [(i, w) for _, i, w in expect] == [(i, w) for _, i, w in got]
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] \
+        == list(range(1, 26))
+
+
+def test_kmeans_lloyd_vs_numpy(spark):
+    """Two Lloyd iterations vs an independent numpy transcription of
+    the spec (seeded-hash init, 6dp-rounded distances and means,
+    list_id tiebreak) — assignments and distances must agree."""
+    import hashlib
+
+    import numpy as np
+
+    from paperslicer_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(120, 8).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    V = vecs.astype(np.float64)
+    order = sorted(range(120), key=lambda i: (
+        hashlib.md5(str(i).encode()).hexdigest(), i))
+    k, iters = 4, 2
+    cents = {j + 1: np.round(V[order[j]], 6) for j in range(k)}
+
+    def assign(cs):
+        out = {}
+        for i in range(120):
+            best = min((round(float(np.sqrt(((V[i] - c) ** 2).sum())), 6),
+                        lid) for lid, c in cs.items())
+            out[i] = best[::-1]  # (list_id, dist)
+        return out
+
+    for _ in range(iters):
+        a = assign(cents)
+        nxt = {}
+        for lid in set(l for l, _ in a.values()):
+            members = [V[i] for i in range(120) if a[i][0] == lid]
+            nxt[lid] = np.round(np.mean(members, axis=0), 6)
+        cents = nxt
+    expect = assign(cents)
+
+    got = {r["vec_id"]: (r["list_id"], r["dist"]) for r in
+           kmeans_lloyd(df, k=k, iters=iters).collect()}
+    assert set(got) == set(range(120))
+    for i in range(120):
+        assert got[i][0] == expect[i][0], i
+        assert got[i][1] == pytest.approx(expect[i][1], abs=1e-9), i
