@@ -1172,6 +1172,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               num_hashes=12, bands=4)
     q["x68_canonical_keep"] = x68_canonical_keep
 
+    def x69_bm25_search(spark, sf):
+        # BM25 full-text retrieval: inverted postings with an
+        # immediate broadcast query-term semi-join (corpus never
+        # shuffles unmatched tokens), Lucene idf, per-query top-10
+        from paperslicer_spark.operators.search import bm25_topk
+        docs = _t(spark, sf, "documents")
+        queries = spark.createDataFrame(
+            _BM25_QUERIES, "query_id long, query_text string")
+        return bm25_topk(docs, queries, k=10)
+    q["x69_bm25_search"] = x69_bm25_search
+
+    def x70_vocab_coverage(spark, sf):
+        # tokenizer-training vocab curve: top-256 tokens by frequency
+        # with cumulative corpus coverage (TakeOrdered cut, window
+        # only over the 256-row result)
+        from paperslicer_spark.operators.curation import vocab_coverage
+        return vocab_coverage(_t(spark, sf, "documents"), "text",
+                              vocab_size=256)
+    q["x70_vocab_coverage"] = x70_vocab_coverage
+
+    def x71_bigram_logprob(spark, sf):
+        # second-order LM quality filter: per-doc mean log10 P(w2|w1)
+        # under the corpus's own add-one bigram model (x53's unigram
+        # filter cannot see improbable transitions)
+        from paperslicer_spark.operators.curation import bigram_logprob
+        return bigram_logprob(_t(spark, sf, "documents"),
+                              "doc_id", "text")
+    q["x71_bigram_logprob"] = x71_bigram_logprob
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -1230,6 +1259,17 @@ _WORDS_EXPR = (
     "CASE WHEN trim(text) = '' THEN 0 "
     "ELSE len(string_split_regex(trim(text), '\\s+')) END"
 )
+
+# x69's fixed query workload (shared Spark ↔ oracle so the relations
+# cannot drift); terms drawn from the synthetic documents vocabulary
+_BM25_QUERIES = [
+    (1, "spark shuffle join"),
+    (2, "window agg order"),
+    (3, "fast scan table"),
+    (4, "batch data column value"),
+    (5, "slow query part"),
+    (6, "nonexistent zzzterm"),
+]
 # frozen extraction-record fixtures (paperslicer_spark/fixtures.py):
 # extraction is not SQL-expressible, so record-analytics oracles
 # (x06/x07/x10/x17) run over these parity-gated parquet tables
@@ -3016,6 +3056,95 @@ SELECT doc, cluster, quality,
   row_number() OVER (PARTITION BY cluster
     ORDER BY quality DESC, doc) = 1 AS keep
 FROM labeled
+"""
+
+    # x69: independent BM25 recomputation — BM25 constants are
+    # interpolated via Python repr so both engines parse the SAME
+    # double (1.2 + 1.0 is a round-to-nearest coin flip if each
+    # engine folds it separately)
+    _qvals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    _k1, _b = 1.2, 0.75
+    o["x69_bm25_search"] = f"""
+WITH queries(query_id, query_text) AS (VALUES {_qvals}),
+ base AS (
+  SELECT doc_id AS doc, trim(lower(text)) AS t,
+    CAST({_WORDS_EXPR} AS DOUBLE) AS dl
+  FROM documents WHERE trim(text) <> ''),
+ stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+  FROM base),
+ qterms AS (
+  SELECT query_id AS qid,
+    unnest(list_distinct(
+      string_split_regex(trim(lower(query_text)), '\\s+'))) AS term
+  FROM queries),
+ terms AS (SELECT DISTINCT term FROM qterms),
+ exploded AS (
+  SELECT doc, dl, unnest(string_split_regex(t, '\\s+')) AS term
+  FROM base),
+ matched AS (SELECT e.* FROM exploded e JOIN terms USING (term)),
+ cand AS (
+  SELECT doc, term, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
+  FROM matched GROUP BY 1, 2),
+ dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM cand GROUP BY 1),
+ scored AS (
+  SELECT q.qid, c.doc,
+    round(sum(
+      ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+      * c.tf * {_k1 + 1.0!r}
+      / (c.tf + {_k1!r} * ({1.0 - _b!r} + {_b!r} * c.dl / s.avgdl))
+    ), 6) AS score
+  FROM cand c JOIN dfreq f USING (term) JOIN qterms q USING (term),
+       stats s
+  GROUP BY 1, 2)
+SELECT qid AS query_id, doc, score, rank FROM (
+  SELECT qid, doc, score, CAST(row_number() OVER (
+    PARTITION BY qid ORDER BY score DESC, doc) AS BIGINT) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+    # x70: vocab coverage curve — top-256 by (count desc, token),
+    # cumulative sum over the ranked relation
+    o["x70_vocab_coverage"] = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''),
+ counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS count FROM toks
+  GROUP BY 1),
+ tot AS (SELECT CAST(sum(count) AS DOUBLE) AS total FROM counts),
+ ranked AS (
+  SELECT token, count, CAST(row_number() OVER (
+    ORDER BY count DESC, token) AS BIGINT) AS rank
+  FROM counts)
+SELECT rank, token, count,
+  round(count / total, 6) AS coverage,
+  round(sum(count) OVER (ORDER BY rank
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total, 6)
+    AS cum_coverage
+FROM ranked, tot WHERE rank <= 256
+"""
+
+    # x71: add-one bigram LM — same raw-count model in SQL; bigram
+    # stream via the range-unnest pair construction
+    o["x71_bigram_logprob"] = """
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+ uni AS (SELECT unnest(t) AS w FROM docs),
+ c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+ dd AS (SELECT count(DISTINCT w) AS d FROM uni),
+ bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM docs, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+ c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY 1)
+SELECT b.doc_id AS doc, CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(avg(log10((c2.c2 + 1) / CAST(c1.c1 + dd.d + 1 AS DOUBLE))), 6)
+    AS mean_logp
+FROM bg b JOIN c2 USING (g)
+JOIN c1 ON split_part(b.g, ' ', 1) = c1.w, dd
+GROUP BY 1
 """
 
     # x27: Gopher-style quality rules (shape stats JVM-side in Spark;

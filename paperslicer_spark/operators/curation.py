@@ -929,3 +929,100 @@ def weighted_sample(df: DataFrame, id_col: str, weight_expr,
         "rank", F.row_number().over(rank_w).cast("bigint")).select(
         id_col, F.col("weight").cast("bigint").alias("weight"),
         "key", "rank")
+
+
+def vocab_coverage(df: DataFrame, text_col: str,
+                   vocab_size: int = 512) -> DataFrame:
+    """Tokenizer-training step one: the top-``vocab_size`` corpus
+    tokens by frequency with their cumulative corpus-coverage curve —
+    the relation a vocab-size decision is made from ("512 types cover
+    97.1% of tokens; 8k covers 99.6%").
+
+    Output ``(rank, token, count, coverage, cum_coverage)`` with
+    coverage fractions rounded to 6dp; rank ties break by token text.
+
+    Scale: the token count is one explode + map-side-combined
+    groupBy; the top-V cut is ``orderBy().limit(V)`` —
+    TakeOrderedAndProject (per-partition V-row heaps), never a global
+    sort; the cumulative window runs on the V-row result (single tiny
+    partition by construction, V small by contract).
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.explode(tokens(F.lower(F.col(text_col))))
+                .alias("token"))
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("count"))
+    total = counts.agg(F.sum("count").cast("double").alias("_total"))
+    top = counts.orderBy(F.col("count").desc(), F.col("token")) \
+        .limit(vocab_size)
+    w = Window.orderBy(F.col("count").desc(), F.col("token"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("coverage",
+                    F.round(F.col("count") / F.col("_total"), 6))
+        .withColumn("cum_coverage",
+                    F.round(F.sum("count").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0))
+                        / F.col("_total"), 6))
+        .select("rank", "token", "count", "coverage", "cum_coverage")
+    )
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str
+                   ) -> DataFrame:
+    """Per-document mean bigram log10-probability under the corpus's
+    own add-one-smoothed bigram LM — the second-order upgrade of the
+    x53 unigram filter (CCNet-style): fluent text scores high, word
+    salad with plausible unigrams but improbable transitions scores
+    low, which the unigram model cannot see.
+
+    Model: ``P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + D + 1)`` with
+    ``c`` raw corpus counts and ``D`` the distinct-unigram count
+    (the smoothing vocabulary). Per doc: ``mean_logp`` = mean log10 P
+    over its consecutive in-doc bigrams, rounded 6dp. Docs with fewer
+    than two tokens have no bigrams and are absent from the output.
+
+    Scale notes (100 TB): both count passes are map-side-combined
+    groupBys; scoring joins the bigram stream against the two model
+    relations on their natural keys — corpus-scale model relations,
+    so these are shuffle equi-joins (AQE skew handling covers hot
+    function-word bigrams), and a production run persists the model
+    bucketed by key once and streams scoring passes against it (the
+    x53 frozen-model note applies verbatim). The bigram array is
+    ``bind``-bound (no-CSE-in-HOF rule) so gram slicing is O(n).
+    """
+    base = df.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("doc"),
+        F.lower(F.col(text_col)).alias("_t"))
+
+    def grams(t):
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(F.element_at(t, i), F.lit(" "),
+                               F.element_at(t, i + 1)))
+        return F.when(F.size(t) < 2,
+                      F.array().cast("array<string>")).otherwise(pairs)
+
+    bg = base.select(
+        "doc", F.explode(bind(tokens(F.col("_t")), grams)).alias("g"))
+    uni = base.select(F.explode(tokens(F.col("_t"))).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    c2 = bg.groupBy("g").agg(F.count("*").alias("c2"))
+    d = uni.agg(F.countDistinct("w").alias("_d"))
+
+    logp = F.log10((F.col("c2") + 1.0) /
+                   (F.col("c1") + F.col("_d") + 1.0))
+    return (
+        bg.join(c2, "g")
+        .withColumn("w", F.split(F.col("g"), " ").getItem(0))
+        .join(c1, "w")
+        .crossJoin(F.broadcast(d))
+        .groupBy("doc")
+        .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+             F.round(F.avg(logp), 6).alias("mean_logp"))
+    )

@@ -1115,3 +1115,111 @@ def test_kmeans_lloyd_vs_numpy(spark):
     for i in range(120):
         assert got[i][0] == expect[i][0], i
         assert got[i][1] == pytest.approx(expect[i][1], abs=1e-9), i
+
+
+def test_bm25_topk_differential(spark):
+    """BM25 vs an independent pure-Python transcription (Lucene idf,
+    k1=1.2 b=0.75): same scores (6dp), same ranking, ties by doc."""
+    import math
+    from collections import Counter
+
+    from paperslicer_spark.operators.search import bm25_topk
+
+    docs = [
+        (1, "spark shuffle join window agg shuffle"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "spark spark spark window"),
+        (4, "join order and shuffle cost in query plans"),
+        (5, "completely unrelated text about rivers"),
+        (6, ""),
+    ]
+    qs = [(10, "spark shuffle"), (11, "quick dog"), (12, "zzz missing")]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    queries = spark.createDataFrame(qs, "query_id long, query_text string")
+
+    live = [(d, t.lower().split()) for d, t in docs if t.strip()]
+    N = len(live)
+    avgdl = sum(len(t) for _, t in live) / N
+    dfreq = Counter()
+    for _, t in live:
+        for w in set(t):
+            dfreq[w] += 1
+    expect = {}
+    for qid, qt in qs:
+        scores = []
+        for d, t in live:
+            tf = Counter(t)
+            s = 0.0
+            for w in set(qt.lower().split()):
+                if tf[w] == 0 or dfreq[w] == 0:
+                    continue
+                idf = math.log(1 + (N - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+                s += idf * tf[w] * 2.2 / (
+                    tf[w] + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+            if s > 0:
+                scores.append((round(s, 6), d))
+        scores.sort(key=lambda x: (-x[0], x[1]))
+        expect[qid] = [(d, s) for s, d in scores[:3]]
+
+    out = bm25_topk(corpus, queries, k=3).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["doc"], r["score"]))
+    assert set(got) == {10, 11}          # no hit → no rows
+    for qid in got:
+        assert [d for d, _ in got[qid]] == [d for d, _ in expect[qid]]
+        for (_, s_got), (_, s_exp) in zip(got[qid], expect[qid]):
+            assert s_got == pytest.approx(s_exp, abs=2e-6)
+
+
+def test_vocab_coverage(spark):
+    from collections import Counter
+
+    from paperslicer_spark.operators.curation import vocab_coverage
+
+    docs = [(1, "a b a c a b"), (2, "a d d"), (3, "  ")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = sorted(vocab_coverage(df, "text", vocab_size=3).collect(),
+                 key=lambda r: r["rank"])
+    cnt = Counter("a b a c a b a d d".split())
+    total = sum(cnt.values())
+    # rank by (count desc, token): a=4, b=2, d=2, c=1 → top3 a,b,d
+    assert [(r["token"], r["count"]) for r in out] == \
+        [("a", 4), ("b", 2), ("d", 2)]
+    assert out[0]["coverage"] == pytest.approx(4 / total)
+    assert out[2]["cum_coverage"] == pytest.approx(8 / total)
+
+
+def test_bigram_logprob_differential(spark):
+    import math
+    from collections import Counter
+
+    from paperslicer_spark.operators.curation import bigram_logprob
+
+    docs = [(1, "the cat sat on the mat"),
+            (2, "the cat ran"),
+            (3, "mat the cat the"),
+            (4, "single"),
+            (5, " ")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    toks = {d: t.lower().split() for d, t in docs if t.strip()}
+    uni = Counter(w for t in toks.values() for w in t)
+    bg = Counter(" ".join(p) for t in toks.values()
+                 for p in zip(t, t[1:]))
+    D = len(uni)
+    expect = {}
+    for d, t in toks.items():
+        pairs = [" ".join(p) for p in zip(t, t[1:])]
+        if not pairs:
+            continue
+        lps = [math.log10((bg[g] + 1) / (uni[g.split()[0]] + D + 1))
+               for g in pairs]
+        expect[d] = (len(pairs), round(sum(lps) / len(lps), 6))
+
+    got = {r["doc"]: (r["n_bigrams"], r["mean_logp"]) for r in
+           bigram_logprob(df, "doc_id", "text").collect()}
+    assert set(got) == set(expect)       # doc 4 (1 token) absent
+    for d in expect:
+        assert got[d][0] == expect[d][0]
+        assert got[d][1] == pytest.approx(expect[d][1], abs=2e-6)
