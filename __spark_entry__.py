@@ -1201,6 +1201,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               "doc_id", "text")
     q["x71_bigram_logprob"] = x71_bigram_logprob
 
+    def x72_ngram_novelty(spark, sf):
+        # per-doc overlap profile: fraction of the doc's distinct
+        # trigrams whose global first occurrence is in an earlier doc
+        # (the per-document cousin of x39's cross-split collision scan)
+        from paperslicer_spark.operators.dedup import ngram_novelty
+        return ngram_novelty(_t(spark, sf, "documents"),
+                             "doc_id", "text", n=3)
+    q["x72_ngram_novelty"] = x72_ngram_novelty
+
+    def x73_leakage_safe_split(spark, sf):
+        # near-dup-aware train/eval split: cluster members never
+        # straddle the split (x26's LSH+CC clusters, seeded-md5 bucket
+        # of the cluster label, singletons = own cluster)
+        from paperslicer_spark.operators.dedup import leakage_safe_split
+        return leakage_safe_split(_t(spark, sf, "documents"),
+                                  "doc_id", "text", eval_pct=20)
+    q["x73_leakage_safe_split"] = x73_leakage_safe_split
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -3241,5 +3259,52 @@ WHERE nonrep.doc_id IS NULL
        AS BIGINT) % 10000
     < CASE d.lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
       WHEN 'fr' THEN 2500 WHEN 'es' THEN 2500 ELSE 1000 END
+"""
+
+    # x72: trigram novelty — same hashed-shingle relation as x39/x09
+    # (_GRAMS_CTE lowercases + distincts per doc), first occurrence =
+    # min doc over the corpus, seen_frac = share of grams pre-seen
+    o["x72_ngram_novelty"] = f"""
+WITH {_GRAMS_CTE},
+ gr AS (SELECT doc, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+          AS g FROM sh),
+ firsts AS (SELECT g, min(doc) AS f FROM gr GROUP BY 1)
+SELECT gr.doc, CAST(count(*) AS BIGINT) AS n_grams,
+  round(avg(CASE WHEN firsts.f < gr.doc THEN 1.0 ELSE 0.0 END), 6)
+    AS seen_frac
+FROM gr JOIN firsts ON firsts.g = gr.g
+GROUP BY 1
+"""
+
+    # x73: leakage-safe split — x68's recursive-CC scaffold; the side
+    # is a seeded-md5 bucket of the CLUSTER label (min member id), so
+    # near-dup cluster members can never straddle the split
+    o["x73_leakage_safe_split"] = f"""
+WITH RECURSIVE {_GRAMS_CTE},
+ sig AS (SELECT doc, {", ".join(_mh_expr(j) for j in range(12))}
+         FROM sh GROUP BY doc),
+ banded AS ({bands_union}),
+ pairs AS (
+   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+   FROM banded a
+   JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+     AND a.doc < b.doc),
+ edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+ reach AS (
+   SELECT s AS node, d AS other FROM edges
+   UNION
+   SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.other),
+ cc AS (
+   SELECT node AS doc, least(node, min(other)) AS cluster
+   FROM reach GROUP BY node),
+ labeled AS (
+   SELECT d.doc_id AS doc, coalesce(cc.cluster, d.doc_id) AS cluster
+   FROM documents d LEFT JOIN cc ON cc.doc = d.doc_id)
+SELECT doc, cluster,
+  CASE WHEN CAST('0x' || substr(md5('split' || CAST(cluster AS VARCHAR)),
+                 1, 15) AS BIGINT) % 100 < 20
+       THEN 'eval' ELSE 'train' END AS split
+FROM labeled
 """
     return o

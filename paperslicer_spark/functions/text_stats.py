@@ -45,6 +45,28 @@ def bind(value: Column, fn) -> Column:
     return F.element_at(F.transform(F.array(value), fn), 1)
 
 
+def widen_undersplit(df):
+    """Repartition a batch DataFrame up to the session parallelism
+    when its source has fewer splits than cores.
+
+    CPU-heavy corpus passes (tokenize/explode/HOF maps) inherit the
+    SCAN's parallelism: a corpus packed into a few small files (or one
+    file) runs the whole pass on that many tasks at ANY cluster size —
+    `spark.sql.files.openCostInBytes` bins small files together, so a
+    26 MB probe corpus scans ~3-way on 32 cores (measured: bm25's
+    corpus pass was flat 8→32 cores until widened). The one-off
+    exchange is ~free relative to the per-row compute, and well-split
+    production inputs (100 TB = thousands of splits) skip the branch
+    entirely. Streaming inputs skip the check: ``.rdd`` is batch-only
+    and micro-batch parallelism is the source's trigger setting.
+    """
+    sc = df.sparkSession.sparkContext
+    if not df.isStreaming and \
+            df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def word_count(col: Column) -> Column:
     return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
         F.size(tokens(col))

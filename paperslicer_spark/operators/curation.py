@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from paperslicer_spark.functions.text_stats import (WS, bind, md5_bigint,
-                                                    tokens)
+                                                    tokens,
+                                                    widen_undersplit)
 
 
 def gopher_quality(df: DataFrame, id_col: str, text_col: str,
@@ -67,18 +68,9 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str,
     value, no exchange, scales like a parquet scan.
     """
     # CPU-heavy per-row map (interpreted HOF ≈ 400 docs/s/core): an
-    # under-split input serializes it — one small parquet file = ONE
-    # task doing all the work, at any cluster size. Same fix as the
-    # extract path's data-proportional default: widen to the session
-    # parallelism when the source has fewer splits. The one-off
-    # (id, text) exchange is ~free relative to the per-row compute;
-    # well-split 100 TB inputs skip this branch entirely.
-    # (streaming inputs skip the check — .rdd is batch-only and micro-
-    # batch parallelism is the source's trigger setting anyway)
-    sc = df.sparkSession.sparkContext
-    if not df.isStreaming and \
-            df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    # under-split input serializes it — widen to session parallelism
+    # (see widen_undersplit; well-split 100 TB inputs skip the branch)
+    df = widen_undersplit(df)
 
     def _run_step(acc, x):
         is_new = acc["prev"].isNull() | (acc["prev"] != x)
@@ -996,9 +988,9 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str
     x53 frozen-model note applies verbatim). The bigram array is
     ``bind``-bound (no-CSE-in-HOF rule) so gram slicing is O(n).
     """
-    base = df.where(F.trim(F.col(text_col)) != "").select(
-        F.col(id_col).alias("doc"),
-        F.lower(F.col(text_col)).alias("_t"))
+    base = widen_undersplit(df).where(F.trim(F.col(text_col)) != "") \
+        .select(F.col(id_col).alias("doc"),
+                F.lower(F.col(text_col)).alias("_t"))
 
     def grams(t):
         pairs = F.transform(

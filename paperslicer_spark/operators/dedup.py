@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from paperslicer_spark.functions.text_stats import (md5_bigint, shingles,
-                                                    tokens)
+                                                    tokens,
+                                                    widen_undersplit)
 
 
 def first_wins_dedup(df: DataFrame, primary_key, fallback_key,
@@ -681,7 +682,11 @@ def substring_dedup(df: DataFrame, id_col: str, text_col: str,
     W = Window
     doc = F.col(id_col)
     text = F.col(text_col)
-    base = df.select(doc.alias("doc"), text.alias("_text")) \
+    # the per-char gram fan-out is the heaviest map in the repo — an
+    # under-split probe corpus must not serialize it (widen_undersplit
+    # no-ops on well-split production inputs)
+    base = widen_undersplit(df) \
+        .select(doc.alias("doc"), text.alias("_text")) \
         .where(F.trim("_text") != "")
 
     grams_arr = F.transform(
@@ -786,3 +791,77 @@ def canonical_keep(df: DataFrame, id_col: str, text_col: str,
     return labeled.withColumn(
         "keep", F.row_number().over(w) == 1).select(
         "doc", "cluster", "quality", "keep")
+
+
+def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty vs the rest of the corpus: for each
+    doc, the fraction of its DISTINCT token ``n``-grams whose global
+    first occurrence (minimum doc id over the whole corpus) lies in an
+    EARLIER document — an overlap/memorization profile ("how much of
+    this doc is already covered by what came before it"). The
+    per-document cousin of decontamination: x39 flags cross-split
+    collisions, this scores intra-corpus redundancy doc by doc, which
+    is the rank key dedup-priority and data-mixing passes want.
+
+    Plan shape: distinct (doc, gram-hash) pairs fan out from the base
+    scan; first occurrences come from a ``groupBy(g).agg(min(doc))`` —
+    MAP-SIDE COMBINED, so a boilerplate gram in 10^6 docs ships one
+    partial row per partition (the substring_dedup step-2 rule, never
+    a rank window over the hot hash); occurrences rejoin on ``g``
+    (AQE skew-join covers residual hot grams) and the per-doc rollup
+    shuffles only (doc, flag) pairs. Docs with < ``n`` tokens have no
+    grams and are absent, like x71.
+
+    Returns ``(doc, n_grams, seen_frac)`` with ``seen_frac`` rounded
+    to 6dp for oracle parity.
+    """
+    g = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("s"),
+    ).select("doc", md5_bigint(F.col("s")).alias("g"))
+    firsts = g.groupBy("g").agg(F.min("doc").alias("_first"))
+    return (
+        g.join(firsts, "g")
+        .groupBy("doc")
+        .agg(F.count("*").cast("bigint").alias("n_grams"),
+             F.round(F.avg((F.col("_first") < F.col("doc"))
+                           .cast("double")), 6).alias("seen_frac"))
+    )
+
+
+def leakage_safe_split(df: DataFrame, id_col: str, text_col: str,
+                       eval_pct: int = 20, seed: str = "split",
+                       n: int = 3, num_hashes: int = 12,
+                       bands: int = 4) -> DataFrame:
+    """Near-dup-aware train/eval split: every document lands in
+    'train' or 'eval' by its near-dup CLUSTER (MinHash-LSH pairs →
+    connected components, the x26 machinery), so two near-duplicates
+    can never straddle the split — the leakage a plain per-doc hash
+    split silently allows, inflating eval scores with memorized
+    training text. Singletons form their own cluster (left join +
+    coalesce, the x68 rule).
+
+    The side is a seeded-md5 bucket of the CLUSTER label — fully
+    deterministic: the same corpus splits identically on every run
+    and every cluster size, and adding unrelated docs never flips an
+    existing cluster's side (the label is the cluster's min member
+    id, stable under appends that don't join the cluster).
+
+    Scale: identical to canonical_keep — pairs/CC are
+    DUPLICATION-sized; the corpus is touched by one id join and a
+    stateless map. Returns ``(doc, cluster, split)``.
+    """
+    clusters = dup_clusters(df, id_col, text_col, n=n,
+                            num_hashes=num_hashes, bands=bands)
+    labeled = (
+        df.select(F.col(id_col).alias("doc"))
+        .join(clusters.select("doc", "cluster"), "doc", "left")
+        .withColumn("cluster", F.coalesce("cluster", F.col("doc")))
+    )
+    bucket = F.pmod(
+        md5_bigint(F.col("cluster").cast("string"), salt=seed),
+        F.lit(100))
+    return labeled.withColumn(
+        "split", F.when(bucket < eval_pct, F.lit("eval"))
+        .otherwise(F.lit("train")))

@@ -30,6 +30,9 @@ REPEATS = int(os.environ.get("CURATION_REPEATS", "2"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICAS = int(os.environ.get("CURATION_REPLICAS", "10"))
 JOBS = set(os.environ.get("CURATION_JOBS", "quality,lsh_pairs,cluster").split(","))
+# substr times a 1/SUBSTR_MOD corpus slice (the per-char gram fan-out
+# is deliberately the most expensive shape in the repo)
+SUBSTR_MOD = int(os.environ.get("SUBSTR_MOD", "5"))
 
 
 def corpus(spark) -> str:
@@ -95,7 +98,16 @@ def worker(cores: int) -> None:
             best = dt if best is None else min(best, dt)
         return best
 
-    out = {"cores": cores, "n_docs": n_docs}
+    # per-job doc counts: partial-job runs (CURATION_JOBS subsets,
+    # possibly at a different REPLICAS) merge into the shared JSON, so
+    # a single top-level n_docs would silently misattribute corpus
+    # sizes across runs
+    out = {"cores": cores}
+
+    def record(job: str, sec: float, n: int) -> None:
+        out[f"{job}_sec"] = round(sec, 3)
+        out[f"{job}_docs_per_sec"] = round(n / sec, 1)
+        out[f"{job}_n_docs"] = n
     if "pdedup" in JOBS:
         # round-4 op: corpus-wide paragraph dedup over 8-token-window
         # paragraphs synthesized from the text (the x40 shape)
@@ -113,8 +125,7 @@ def worker(cores: int) -> None:
             "doc_id", F.array_join(paras, "\n\n").alias("text"))
         sec = best_of(lambda: force(
             paragraph_dedup(withp, "doc_id", "text")))
-        out["pdedup_sec"] = round(sec, 3)
-        out["pdedup_docs_per_sec"] = round(n_docs / sec, 1)
+        record("pdedup", sec, n_docs)
     if "decon" in JOBS:
         # round-4 op: decontamination vs a 1/16 held-out slice
         from pyspark.sql import functions as F
@@ -126,12 +137,10 @@ def worker(cores: int) -> None:
         sec = best_of(lambda: force(
             decontaminate(train, bench, "doc_id", "text", n=4,
                           max_doc_freq=200)))
-        out["decon_sec"] = round(sec, 3)
-        out["decon_docs_per_sec"] = round(n_docs / sec, 1)
+        record("decon", sec, n_docs)
     if "quality" in JOBS:
         sec = best_of(lambda: force(gopher_quality(docs, "doc_id", "text")))
-        out["quality_sec"] = round(sec, 3)
-        out["quality_docs_per_sec"] = round(n_docs / sec, 1)
+        record("quality", sec, n_docs)
     if "c4" in JOBS or "repstats" in JOBS:
         # round-5 zero-shuffle HOF ops over synthesized multi-line text
         from pyspark.sql import functions as F
@@ -150,25 +159,57 @@ def worker(cores: int) -> None:
         if "c4" in JOBS:
             sec = best_of(lambda: force(
                 c4_line_filter(withl, "doc_id", "text", min_words=3)))
-            out["c4_sec"] = round(sec, 3)
-            out["c4_docs_per_sec"] = round(n_docs / sec, 1)
+            record("c4", sec, n_docs)
         if "repstats" in JOBS:
             sec = best_of(lambda: force(
                 repetition_stats(withl, "doc_id", "text")))
-            out["repstats_sec"] = round(sec, 3)
-            out["repstats_docs_per_sec"] = round(n_docs / sec, 1)
+            record("repstats", sec, n_docs)
+    if "substr" in JOBS:
+        # round-5 op: exact substring dedup (x65) — deliberately the
+        # most expensive shape (per-char gram fan-out); timed on a
+        # 1/5 slice so the probe stays tractable
+        from pyspark.sql import functions as F
+
+        from paperslicer_spark.operators.dedup import substring_dedup
+
+        sl = docs.where(F.col("doc_id") % SUBSTR_MOD == 0)
+        n_sl = sl.count()
+        sec = best_of(lambda: force(
+            substring_dedup(sl, "doc_id", "text", min_length=30)))
+        record("substr", sec, n_sl)
+    if "bm25" in JOBS:
+        # round-5 op: BM25 retrieval (x69) — terms carry the probe
+        # corpus's per-group g0/g1 suffix so queries actually match
+        from pyspark.sql import functions as F
+
+        from paperslicer_spark.operators.search import bm25_topk
+
+        qs = [(i * 2 + g, f"sparkg{g} shuffleg{g} joing{g} aggg{g}")
+              for i in range(4) for g in (0, 1)]
+        queries = spark.createDataFrame(
+            qs, "query_id long, query_text string")
+        sec = best_of(lambda: force(bm25_topk(docs, queries, k=10)))
+        record("bm25", sec, n_docs)
+    if "bigram" in JOBS:
+        # round-5 op: add-one bigram LM scoring (x71) — two count
+        # passes + the model-apply equi-joins
+        from paperslicer_spark.operators.curation import bigram_logprob
+
+        sec = best_of(lambda: force(
+            bigram_logprob(docs, "doc_id", "text")))
+        record("bigram", sec, n_docs)
     if "lsh_pairs" in JOBS:
         sec = best_of(lambda: force(
             DD.minhash_lsh_pairs(docs, "doc_id", "text")))
-        out["lsh_pairs_sec"] = round(sec, 3)
-        out["lsh_docs_per_sec"] = round(n_docs / sec, 1)
+        record("lsh_pairs", sec, n_docs)
+        out["lsh_docs_per_sec"] = out.pop("lsh_pairs_docs_per_sec")
     if "cluster" in JOBS:
         # clustering timed over materialized pairs (isolates the loop)
         pairs = DD.minhash_lsh_pairs(docs, "doc_id", "text") \
             .localCheckpoint(eager=True)
         out["n_pairs"] = pairs.count()
         sec = best_of(lambda: force(DD.connected_components(pairs)))
-        out["cluster_sec"] = round(sec, 3)
+        record("cluster", sec, n_docs)
     print(json.dumps(out))
     spark.stop()
 
@@ -191,14 +232,24 @@ def orchestrate() -> None:
     ratio = hi / lo
     summary = {"cores": CORES, "ratio": ratio}
     for job in [j for j in ("quality", "lsh_pairs", "cluster", "c4", "repstats",
-                            "pdedup", "decon") if j in JOBS]:
+                            "pdedup", "decon", "substr", "bm25",
+                            "bigram") if j in JOBS]:
         t_lo = results[lo][f"{job}_sec"]
         t_hi = results[hi][f"{job}_sec"]
         summary[f"{job}_efficiency"] = round((t_lo / t_hi) / ratio, 3)
     print(json.dumps(summary))
-    with open(os.path.join(REPO, "BENCH", "curation_scaling.json"),
-              "w") as f:
-        json.dump({"results": results, "summary": summary}, f, indent=2)
+    # merge into the existing file so partial-job runs (CURATION_JOBS
+    # subsets) extend rather than clobber earlier probes
+    path = os.path.join(REPO, "BENCH", "curation_scaling.json")
+    prev = {"results": {}, "summary": {}}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+    for c, r in results.items():
+        prev["results"].setdefault(str(c), {}).update(r)
+    prev["summary"].update(summary)
+    with open(path, "w") as f:
+        json.dump(prev, f, indent=2)
 
 
 if __name__ == "__main__":

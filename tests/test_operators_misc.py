@@ -1223,3 +1223,61 @@ def test_bigram_logprob_differential(spark):
     for d in expect:
         assert got[d][0] == expect[d][0]
         assert got[d][1] == pytest.approx(expect[d][1], abs=2e-6)
+
+
+def test_ngram_novelty_vs_python_reference(spark):
+    """seen_frac equals a brute-force python first-occurrence scan."""
+    from paperslicer_spark.operators.dedup import ngram_novelty
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma zeta eta"),          # shares 1 trigram w/ 1
+        (3, "alpha beta gamma delta epsilon"),     # exact dup of 1
+        (4, "totally fresh words only here"),
+        (5, "xy"),                                 # < 3 tokens → absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r for r in
+           ngram_novelty(df, "doc_id", "text", n=3).collect()}
+
+    def grams(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    firsts = {}
+    for d, t in rows:
+        for g in sorted(grams(t)):
+            firsts.setdefault(g, d)
+    for d, t in rows:
+        gs = grams(t)
+        if not gs:
+            assert d not in out
+            continue
+        seen = sum(1 for g in gs if firsts[g] < d)
+        assert out[d]["n_grams"] == len(gs)
+        assert abs(out[d]["seen_frac"] - round(seen / len(gs), 6)) < 1e-9
+    # the exact dup's grams are all pre-seen; the first doc's none
+    assert out[1]["seen_frac"] == 0.0
+    assert out[3]["seen_frac"] == 1.0
+
+
+def test_leakage_safe_split_cluster_atomic(spark):
+    """Near-dup cluster members always land on the same side; the
+    assignment is deterministic and covers every doc."""
+    from paperslicer_spark.operators.dedup import leakage_safe_split
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog "
+             f"unique{i // 3} filler words here") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df, "doc_id", "text", eval_pct=30).collect()
+    assert len(out) == 30 and {r["doc"] for r in out} == set(range(30))
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["split"])
+    # cluster-atomic: one side per cluster
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert {r["split"] for r in out} <= {"train", "eval"}
+    # deterministic across runs
+    again = {r["doc"]: r["split"] for r in
+             leakage_safe_split(df, "doc_id", "text", eval_pct=30).collect()}
+    assert again == {r["doc"]: r["split"] for r in out}
