@@ -1219,6 +1219,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   "doc_id", "text", eval_pct=20)
     q["x73_leakage_safe_split"] = x73_leakage_safe_split
 
+    def x74_source_overlap(spark, sf):
+        # cross-source near-dup provenance matrix: per unordered
+        # source pair, how many near-dup doc pairs straddle them
+        # (licensing/de-biasing audit before mixing sources)
+        from paperslicer_spark.operators.dedup import source_overlap
+        return source_overlap(_t(spark, sf, "documents"),
+                              "doc_id", "text", "source")
+    q["x74_source_overlap"] = x74_source_overlap
+
+    def x75_bpe_pair_counts(spark, sf):
+        # tokenizer-training inner loop: top-64 weighted adjacent
+        # char pairs over the distinct-word vocabulary (the argmax of
+        # this relation IS the first BPE merge)
+        from paperslicer_spark.operators.curation import bpe_pair_counts
+        return bpe_pair_counts(_t(spark, sf, "documents"), "text",
+                               top_k=64)
+    q["x75_bpe_pair_counts"] = x75_bpe_pair_counts
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -3306,5 +3324,60 @@ SELECT doc, cluster,
                  1, 15) AS BIGINT) % 100 < 20
        THEN 'eval' ELSE 'train' END AS split
 FROM labeled
+"""
+
+    # x74: cross-source provenance matrix — x68's recursive-CC
+    # scaffold, then a cluster self-join (cluster-size-bounded) rolled
+    # up per unordered source pair
+    o["x74_source_overlap"] = f"""
+WITH RECURSIVE {_GRAMS_CTE},
+ sig AS (SELECT doc, {", ".join(_mh_expr(j) for j in range(12))}
+         FROM sh GROUP BY doc),
+ banded AS ({bands_union}),
+ pairs AS (
+   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+   FROM banded a
+   JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+     AND a.doc < b.doc),
+ edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+ reach AS (
+   SELECT s AS node, d AS other FROM edges
+   UNION
+   SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.other),
+ cc AS (
+   SELECT node AS doc, least(node, min(other)) AS cluster
+   FROM reach GROUP BY node),
+ labeled AS (
+   SELECT cc.doc, cc.cluster, d.source
+   FROM cc JOIN documents d ON d.doc_id = cc.doc)
+SELECT least(a.source, b.source) AS source_a,
+  greatest(a.source, b.source) AS source_b,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(count(DISTINCT a.cluster) AS BIGINT) AS n_clusters
+FROM labeled a JOIN labeled b ON a.cluster = b.cluster
+  AND a.doc < b.doc
+GROUP BY 1, 2
+"""
+
+    # x75: BPE pair counts — weighted 2-char substrings over the
+    # distinct-word vocabulary, top-64 by weight (ties by pair text)
+    o["x75_bpe_pair_counts"] = """
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+ words AS (SELECT unnest(t) AS w FROM toks),
+ vocab AS (SELECT w, count(*) AS c FROM words
+           GROUP BY 1 HAVING length(w) >= 2),
+ pairs AS (
+  SELECT substr(w, i, 2) AS pair, c
+  FROM vocab, UNNEST(range(1, length(w))) AS u(i)),
+ agg AS (SELECT pair, CAST(sum(c) AS BIGINT) AS weight
+         FROM pairs GROUP BY 1),
+ top AS (SELECT pair, weight FROM agg
+         ORDER BY weight DESC, pair LIMIT 64)
+SELECT CAST(row_number() OVER (ORDER BY weight DESC, pair) AS BIGINT)
+    AS rank, pair, weight
+FROM top
 """
     return o

@@ -1018,3 +1018,48 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str
         .agg(F.count("*").cast("bigint").alias("n_bigrams"),
              F.round(F.avg(logp), 6).alias("mean_logp"))
     )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str,
+                    top_k: int = 64) -> DataFrame:
+    """The corpus-scale inner loop of BPE tokenizer training: weighted
+    adjacent-symbol-pair counts over the vocabulary, at the initial
+    (character) iteration — the relation whose argmax IS the first BPE
+    merge. Production trainers (e.g. the HF tokenizers pipeline) run
+    exactly this split: one distributed pass builds the word-frequency
+    vocabulary, then the merge loop iterates on that driver-sized
+    relation; this operator is the distributed pass plus the first
+    pair-count, which is the only part that touches the corpus.
+
+    Output ``(rank, pair, weight)``: the top-``top_k`` two-character
+    pairs by total corpus weight (word frequency × in-word
+    occurrences), ties by pair text.
+
+    Scale: word counts and pair sums are map-side-combined groupBys
+    (the pair fan-out runs over the DISTINCT-word vocabulary, not the
+    corpus); the top-k cut is TakeOrderedAndProject (per-partition
+    k-row heaps); the rank window sees only the k survivors.
+    """
+    from pyspark.sql import Window
+
+    vocab = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+        .where(F.length("w") >= 2)
+    )
+    # adjacent char pairs = all 2-char substrings (w is a plain column
+    # attribute, so referencing it inside the HOF lambda is safe under
+    # the no-CSE rule)
+    pairs = vocab.select(
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)))).alias("pair"),
+        "c")
+    agg = pairs.groupBy("pair").agg(
+        F.sum("c").cast("bigint").alias("weight"))
+    top = agg.orderBy(F.col("weight").desc(), "pair").limit(top_k)
+    w = Window.orderBy(F.col("weight").desc(), "pair")
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "pair", "weight")

@@ -865,3 +865,40 @@ def leakage_safe_split(df: DataFrame, id_col: str, text_col: str,
     return labeled.withColumn(
         "split", F.when(bucket < eval_pct, F.lit("eval"))
         .otherwise(F.lit("train")))
+
+
+def source_overlap(df: DataFrame, id_col: str, text_col: str,
+                   source_col: str, n: int = 3, num_hashes: int = 12,
+                   bands: int = 4) -> DataFrame:
+    """Cross-source near-dup provenance matrix: for every unordered
+    pair of sources, how many near-duplicate DOC pairs straddle them
+    (same LSH+CC cluster, the x26 machinery) and how many clusters are
+    involved — "how much of source B is copied from source A", the
+    question a de-biasing or licensing audit asks before mixing
+    sources. Same-source pairs are reported too (intra-source
+    redundancy baseline).
+
+    Scale: cluster membership is DUPLICATION-sized; the doc-pair
+    fan-out is a self-equi-join on the cluster label, bounded per
+    cluster by the duplication degree the LSH bands admit (the x68
+    argument) — never corpus×corpus. Output ``(source_a, source_b,
+    n_pairs, n_clusters)`` with source_a <= source_b.
+    """
+    clusters = dup_clusters(df, id_col, text_col, n=n,
+                            num_hashes=num_hashes, bands=bands)
+    labeled = (
+        df.select(F.col(id_col).alias("doc"),
+                  F.col(source_col).alias("source"))
+        .join(clusters.select("doc", "cluster"), "doc")
+    )
+    a, b = labeled.alias("a"), labeled.alias("b")
+    return (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.least("a.source", "b.source").alias("source_a"),
+            F.greatest("a.source", "b.source").alias("source_b"))
+        .agg(F.count("*").cast("bigint").alias("n_pairs"),
+             F.countDistinct("a.cluster").cast("bigint")
+             .alias("n_clusters"))
+    )

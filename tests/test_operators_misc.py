@@ -1281,3 +1281,47 @@ def test_leakage_safe_split_cluster_atomic(spark):
     again = {r["doc"]: r["split"] for r in
              leakage_safe_split(df, "doc_id", "text", eval_pct=30).collect()}
     assert again == {r["doc"]: r["split"] for r in out}
+
+
+def test_source_overlap_matrix(spark):
+    """Near-dup doc pairs roll up per unordered source pair; same-
+    source redundancy is reported too."""
+    from paperslicer_spark.operators.dedup import source_overlap
+
+    dup = "the quick brown fox jumps over the lazy dog again today"
+    rows = [
+        (1, dup, "web"),
+        (2, dup, "books"),
+        (3, dup, "web"),
+        (4, "completely different words entirely unrelated here", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): (r["n_pairs"], r["n_clusters"])
+           for r in source_overlap(df, "doc_id", "text",
+                                   "source").collect()}
+    # 1/2/3 cluster: pairs (1,2) web-books, (1,3) web-web, (2,3) books-web
+    assert out == {("books", "web"): (2, 1), ("web", "web"): (1, 1)}
+
+
+def test_bpe_pair_counts_vs_python(spark):
+    """Top pair weights equal a python char-bigram count over the
+    word-frequency vocabulary."""
+    from collections import Counter
+
+    from paperslicer_spark.operators.curation import bpe_pair_counts
+
+    rows = [(1, "low low lower"), (2, "low lowest nest")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["rank"], r["pair"], r["weight"]) for r in
+           bpe_pair_counts(df, "text", top_k=5).collect()]
+
+    wc = Counter(w for _, t in rows for w in t.lower().split())
+    pc = Counter()
+    for w, c in wc.items():
+        if len(w) >= 2:
+            for i in range(len(w) - 1):
+                pc[w[i:i + 2]] += c
+    expect = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == [(i + 1, p, c) for i, (p, c) in enumerate(expect)]
+    # sanity: "lo"/"ow" dominate ("low" appears 3x + prefixes)
+    assert got[0][1] in ("lo", "ow")
