@@ -1237,6 +1237,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                top_k=64)
     q["x75_bpe_pair_counts"] = x75_bpe_pair_counts
 
+    def x76_fuzzy_head_pairs(spark, sf):
+        # blocked fuzzy record linkage over document heads: pairs
+        # within 8 Levenshtein edits on the first 64 chars, candidate-
+        # blocked on the first 12 (classic title-matching ER)
+        from paperslicer_spark.operators.dedup import fuzzy_pairs
+        heads = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.substring(F.trim(F.lower(F.col("text"))), 1, 64)
+            .alias("head"))
+        return fuzzy_pairs(heads, "doc_id", "head",
+                           block_len=12, max_dist=8)
+    q["x76_fuzzy_head_pairs"] = x76_fuzzy_head_pairs
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -3379,5 +3392,19 @@ WITH toks AS (
 SELECT CAST(row_number() OVER (ORDER BY weight DESC, pair) AS BIGINT)
     AS rank, pair, weight
 FROM top
+"""
+
+    # x76: blocked fuzzy linkage — DuckDB's levenshtein matches
+    # Spark's edit-for-edit, so values replay exactly
+    o["x76_fuzzy_head_pairs"] = """
+WITH heads AS (
+  SELECT doc_id, substr(trim(lower(text)), 1, 64) AS k
+  FROM documents WHERE trim(lower(text)) <> ''),
+ blocked AS (SELECT doc_id, k, substr(k, 1, 12) AS blk FROM heads)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+FROM blocked a
+JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.k, b.k) <= 8
 """
     return o

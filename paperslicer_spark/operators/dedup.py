@@ -902,3 +902,51 @@ def source_overlap(df: DataFrame, id_col: str, text_col: str,
              F.countDistinct("a.cluster").cast("bigint")
              .alias("n_clusters"))
     )
+
+
+def fuzzy_pairs(df: DataFrame, id_col: str, key_col: str,
+                block_len: int = 12, max_dist: int = 8,
+                max_block_size: int | None = None) -> DataFrame:
+    """Blocked fuzzy record linkage (entity resolution within one
+    relation): every pair of rows whose key strings are within
+    ``max_dist`` Levenshtein edits, candidate-blocked on the first
+    ``block_len`` lowercased chars — the classic title/name-matching
+    join, with the quadratic tamed the standard ER way (compare only
+    within blocks).
+
+    Levenshtein runs JVM-side (``F.levenshtein``) and DuckDB's
+    ``levenshtein`` matches edit-for-edit, so the oracle replays
+    values exactly.
+
+    Recall contract: pairs that differ inside the first ``block_len``
+    chars are missed by construction — the standard blocking trade;
+    production runs union several block functions (prefix, sorted
+    tokens, phonetic) over the same machinery. ``max_block_size`` is
+    the skew dial: a boilerplate prefix shared by millions of rows
+    would emit C(m,2) candidates, so blocks larger than the cap are
+    dropped entirely (one count-window over the block key, the
+    ngram_jaccard max_doc_freq pattern) — at 100 TB the cap is
+    mandatory, exactly like q11's stop-shingle rule.
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``.
+    """
+    base = (
+        df.select(F.col(id_col).alias("id"),
+                  F.trim(F.lower(F.col(key_col))).alias("k"))
+        .where(F.col("k") != "")
+        .withColumn("blk", F.substring("k", 1, block_len))
+    )
+    if max_block_size is not None:
+        w = Window.partitionBy("blk")
+        base = base.withColumn("_bs", F.count("*").over(w)) \
+            .where(F.col("_bs") <= max_block_size).drop("_bs")
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.levenshtein(F.col("a.k"), F.col("b.k"))
+                .cast("bigint").alias("dist"))
+        .where(F.col("dist") <= max_dist)
+    )

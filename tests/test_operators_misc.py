@@ -1325,3 +1325,26 @@ def test_bpe_pair_counts_vs_python(spark):
     assert got == [(i + 1, p, c) for i, (p, c) in enumerate(expect)]
     # sanity: "lo"/"ow" dominate ("low" appears 3x + prefixes)
     assert got[0][1] in ("lo", "ow")
+
+
+def test_fuzzy_pairs_blocked_linkage(spark):
+    """Edit-distance pairs within blocks; cross-block pairs missed by
+    contract; the block-size cap drops oversized blocks."""
+    from paperslicer_spark.operators.dedup import fuzzy_pairs
+
+    rows = [
+        (1, "International Business Machines"),
+        (2, "International Business Machine"),    # dist 1, same block
+        (3, "International Busines Machines"),    # dist 1 vs 1
+        (4, "Intl Business Machines"),            # different block
+        (5, "zeta utterly different name"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in
+           fuzzy_pairs(df, "id", "name", block_len=12,
+                       max_dist=3).collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+    # cap: block of 3 dropped entirely when above max_block_size
+    capped = fuzzy_pairs(df, "id", "name", block_len=12, max_dist=3,
+                         max_block_size=2).collect()
+    assert capped == []
