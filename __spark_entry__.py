@@ -1250,6 +1250,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            block_len=12, max_dist=8)
     q["x76_fuzzy_head_pairs"] = x76_fuzzy_head_pairs
 
+    def x77_source_kl(spark, sf):
+        # corpus-mix drift monitor: per-source KL divergence of the
+        # unigram distribution from the corpus blend (one corpus
+        # pass; roll-ups are windows over the vocab-sized relation)
+        from paperslicer_spark.operators.curation import source_kl
+        return source_kl(_t(spark, sf, "documents"), "source", "text")
+    q["x77_source_kl"] = x77_source_kl
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -3406,5 +3414,29 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM blocked a
 JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE levenshtein(a.k, b.k) <= 8
+"""
+
+    # x77: per-source unigram KL vs the corpus blend (direct formula;
+    # both engines land within the 6dp round despite different
+    # summation orders — the x71 mean-log precedent)
+    o["x77_source_kl"] = """
+WITH toks AS (
+  SELECT source,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''),
+ sw AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+ cw AS (SELECT w, CAST(sum(c) AS DOUBLE) AS cw FROM sw GROUP BY 1),
+ nt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens
+        FROM sw GROUP BY 1),
+ g AS (SELECT CAST(sum(c) AS DOUBLE) AS g FROM sw)
+SELECT s.source, nt.n_tokens,
+  round(sum((s.c / CAST(nt.n_tokens AS DOUBLE))
+            * ln((s.c / CAST(nt.n_tokens AS DOUBLE))
+                 / (cw.cw / g.g))), 6) AS kl
+FROM sw s
+JOIN cw ON cw.w = s.w
+JOIN nt ON nt.source = s.source
+CROSS JOIN g
+GROUP BY 1, 2
 """
     return o

@@ -1063,3 +1063,50 @@ def bpe_pair_counts(df: DataFrame, text_col: str,
     return top.select(
         F.row_number().over(w).cast("bigint").alias("rank"),
         "pair", "weight")
+
+
+def source_kl(df: DataFrame, source_col: str, text_col: str
+              ) -> DataFrame:
+    """Per-source KL divergence from the corpus-wide unigram
+    distribution: ``KL(p_source || p_corpus) = Σ_w p_s(w) ·
+    ln(p_s(w) / p_c(w))`` — the distribution-shift monitor a data-mix
+    dashboard tracks per ingest source ("this crawl slice drifted
+    0.8 nats from the blend"). Always finite: every source word is a
+    corpus word, so ``p_c(w) > 0`` wherever ``p_s(w) > 0``.
+
+    Output ``(source, n_tokens, kl)`` with ``kl`` rounded to 6dp for
+    oracle parity.
+
+    Scale: ONE corpus pass — the map-side-combined (source, word)
+    count; the per-word and per-source roll-ups are WINDOWS over that
+    vocab-sized relation, never broadcast-backs of its aggregates (a
+    `F.broadcast(agg_of_sw)` build re-runs the corpus explode as its
+    own query-stage job — the measured bm25 trap, see
+    `operators/search.py`). The grand total enters as the algebraic
+    ``+ ln(N)`` constant computed from the final |sources|-row
+    relation, so no global window ever sees the vocab relation.
+    """
+    from pyspark.sql import Window
+
+    sw = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(source_col).alias("source"),
+                F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("source", "w").agg(F.count("*").alias("c"))
+        .withColumn("cw", F.sum("c").over(Window.partitionBy("w")))
+        .withColumn("nt", F.sum("c").over(Window.partitionBy("source")))
+    )
+    # KL = Σ p_s·ln(p_s/p_c) with p_c = cw/N; pulling the constant
+    # ln(N) out (Σ p_s = 1) avoids needing N inside the vocab-sized
+    # aggregation: Σ p_s·ln(c·?/(nt·cw)) + ln(N)
+    p_s = F.col("c") / F.col("nt")
+    part = F.sum(p_s * F.log(F.col("c")
+                             / (F.col("nt") * F.col("cw"))))
+    per_src = sw.groupBy("source").agg(
+        F.first("nt").cast("bigint").alias("n_tokens"),
+        part.alias("_part"))
+    grand = F.sum("n_tokens").over(Window.partitionBy())
+    return per_src.select(
+        "source", "n_tokens",
+        F.round(F.col("_part") + F.log(grand.cast("double")), 6)
+        .alias("kl"))

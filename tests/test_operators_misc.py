@@ -1348,3 +1348,37 @@ def test_fuzzy_pairs_blocked_linkage(spark):
     capped = fuzzy_pairs(df, "id", "name", block_len=12, max_dist=3,
                          max_block_size=2).collect()
     assert capped == []
+
+
+def test_source_kl_vs_python(spark):
+    """KL per source matches a direct python computation; a source
+    identical to the blend scores near zero."""
+    import math
+    from collections import Counter
+
+    from paperslicer_spark.operators.curation import source_kl
+
+    rows = [
+        (1, "a", "alpha beta gamma alpha beta"),
+        (2, "a", "alpha gamma gamma delta"),
+        (3, "b", "alpha beta gamma alpha beta alpha gamma gamma delta"),
+        (4, "c", "zeta zeta zeta zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: (r["n_tokens"], r["kl"]) for r in
+           source_kl(df, "source", "text").collect()}
+
+    per_src, corpus = {}, Counter()
+    for _, s, t in rows:
+        ws = t.lower().split()
+        per_src.setdefault(s, Counter()).update(ws)
+        corpus.update(ws)
+    n = sum(corpus.values())
+    for s, cnt in per_src.items():
+        nt = sum(cnt.values())
+        kl = sum((c / nt) * math.log((c / nt) / (corpus[w] / n))
+                 for w, c in cnt.items())
+        assert got[s][0] == nt
+        assert abs(got[s][1] - round(kl, 6)) < 2e-6
+    # source c's tokens are unique to it → largest divergence
+    assert got["c"][1] > got["a"][1] and got["c"][1] > got["b"][1]
