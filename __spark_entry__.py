@@ -1258,6 +1258,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return source_kl(_t(spark, sf, "documents"), "source", "text")
     q["x77_source_kl"] = x77_source_kl
 
+    def x78_pagerank(spark, sf):
+        # link-graph quality prior (Common Crawl-style centrality):
+        # fixed-point integer PageRank, 3 unrolled iterations, over
+        # the deterministic 3-out affine graph on doc_id — the oracle
+        # regenerates the identical edge set, so graph construction
+        # is checked end-to-end, not just the rank arithmetic
+        from paperslicer_spark.operators.graph import (
+            pagerank_fixed, synthetic_link_graph)
+        docs = _t(spark, sf, "documents")
+        edges = synthetic_link_graph(docs, "doc_id")
+        return (pagerank_fixed(edges, iters=3)
+                .select(F.col("id").alias("doc_id"), "outdeg",
+                        "rank_fp"))
+    q["x78_pagerank"] = x78_pagerank
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -3438,5 +3453,48 @@ JOIN cw ON cw.w = s.w
 JOIN nt ON nt.source = s.source
 CROSS JOIN g
 GROUP BY 1, 2
+"""
+
+    # x78: edge set AND fixed-point rank arithmetic regenerated from
+    # the same parquet — constants mirror graph.LINK_PARAMS / SCALE;
+    # integer // everywhere keeps it bit-exact vs Spark's `div`.
+    # CAST(sum AS BIGINT): DuckDB sums BIGINT into HUGEINT.
+    o["x78_pagerank"] = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+ nodes AS (SELECT doc_id AS id FROM documents),
+ edges AS (
+   SELECT DISTINCT src, dst FROM (
+     SELECT id AS src, (id*31 + 7) % nn.n AS dst FROM nodes, nn
+     UNION ALL SELECT id, (id*17 + 3) % nn.n FROM nodes, nn
+     UNION ALL SELECT id, (id*5 + 11) % nn.n FROM nodes, nn)),
+ outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+ base AS (SELECT n0.id, coalesce(o.outdeg, 0) AS outdeg, nn.n
+          FROM nodes n0 LEFT JOIN outd o ON o.src = n0.id
+          CROSS JOIN nn),
+ r0 AS (SELECT id, CAST(1000000000000 // n AS BIGINT) AS rank_fp
+        FROM base),
+ s1 AS (SELECT e.dst, CAST(sum(r.rank_fp // b.outdeg) AS BIGINT) AS s
+        FROM edges e JOIN r0 r ON r.id = e.src
+        JOIN base b ON b.id = e.src AND b.outdeg > 0 GROUP BY 1),
+ r1 AS (SELECT b.id,
+          CAST(15000000000000 // (100 * b.n)
+               + (85 * coalesce(s1.s, 0)) // 100 AS BIGINT) AS rank_fp
+        FROM base b LEFT JOIN s1 ON s1.dst = b.id),
+ s2 AS (SELECT e.dst, CAST(sum(r.rank_fp // b.outdeg) AS BIGINT) AS s
+        FROM edges e JOIN r1 r ON r.id = e.src
+        JOIN base b ON b.id = e.src AND b.outdeg > 0 GROUP BY 1),
+ r2 AS (SELECT b.id,
+          CAST(15000000000000 // (100 * b.n)
+               + (85 * coalesce(s2.s, 0)) // 100 AS BIGINT) AS rank_fp
+        FROM base b LEFT JOIN s2 ON s2.dst = b.id),
+ s3 AS (SELECT e.dst, CAST(sum(r.rank_fp // b.outdeg) AS BIGINT) AS s
+        FROM edges e JOIN r2 r ON r.id = e.src
+        JOIN base b ON b.id = e.src AND b.outdeg > 0 GROUP BY 1),
+ r3 AS (SELECT b.id,
+          CAST(15000000000000 // (100 * b.n)
+               + (85 * coalesce(s3.s, 0)) // 100 AS BIGINT) AS rank_fp
+        FROM base b LEFT JOIN s3 ON s3.dst = b.id)
+SELECT b.id AS doc_id, CAST(b.outdeg AS BIGINT) AS outdeg, r3.rank_fp
+FROM base b JOIN r3 ON r3.id = b.id
 """
     return o
