@@ -1273,6 +1273,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "rank_fp"))
     q["x78_pagerank"] = x78_pagerank
 
+    def x79_url_dedup(spark, sf):
+        # crawl URL hygiene: canonicalize deterministically synthesized
+        # messy URLs (mixed-case scheme/host, www., default ports,
+        # shuffled+tracking query params, fragments, trailing slash)
+        # and annotate each row with its canonical-URL dup-group size —
+        # the oracle re-canonicalizes independently in DuckDB SQL
+        from paperslicer_spark.operators.web import url_dup_groups
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id")
+
+        def _pick(cond, yes):
+            return F.when(cond, F.lit(yes)).otherwise(F.lit(""))
+
+        url = F.concat(
+            F.lit("HTTP"), _pick(d % 4 == 0, "S"), F.lit("://"),
+            _pick(d % 3 == 0, "WWW."), F.col("source"),
+            F.lit(".Example.com"),
+            F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+            F.lit("/Path/"), (d % 7).cast("string"),
+            _pick(d % 5 == 0, "/"),
+            F.lit("?utm_source=feed&id="), (d % 50).cast("string"),
+            F.lit("&b=2&a=1"), _pick(d % 2 == 0, "&fbclid=XYZ"),
+            F.lit("#sec"), (d % 3).cast("string"))
+        seeded = docs.select("doc_id", url.alias("url"))
+        return url_dup_groups(seeded, "doc_id", "url")
+    q["x79_url_dedup"] = x79_url_dedup
+
+    def x80_quality_auc(spark, sf):
+        # classifier-calibration AUC: does a quality score rank the
+        # kept class above the dropped one?  score = n_chars (integer,
+        # full of ties -> exercises the average-rank identity), label
+        # = Knuth-hash bernoulli on doc_id; auc_num2 is integer-exact
+        from paperslicer_spark.operators.metrics import ranked_auc
+        docs = _t(spark, sf, "documents")
+        seeded = docs.select(
+            "source", F.col("n_chars").alias("score"),
+            ((F.col("doc_id") * 2654435761) % 97 < 41)
+            .cast("int").alias("lab"))
+        return ranked_auc(seeded, "source", "score", "lab")
+    q["x80_quality_auc"] = x80_quality_auc
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -3496,5 +3537,88 @@ WITH nn AS (SELECT count(*) AS n FROM documents),
         FROM base b LEFT JOIN s3 ON s3.dst = b.id)
 SELECT b.id AS doc_id, CAST(b.outdeg AS BIGINT) AS outdeg, r3.rank_fp
 FROM base b JOIN r3 ON r3.id = b.id
+"""
+
+    # x79: the oracle re-canonicalizes INDEPENDENTLY (DuckDB regexp +
+    # list functions); the tracking-param list is GENERATED from
+    # web.TRACKING_PARAMS so the engines cannot drift (x41 principle).
+    from paperslicer_spark.operators.web import TRACKING_PARAMS
+    _trk = ", ".join("'" + p.replace("'", "''") + "'"
+                     for p in TRACKING_PARAMS)
+    _ure = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(?::(\d+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+    o["x79_url_dedup"] = f"""
+WITH u AS (
+  SELECT doc_id,
+    'HTTP' || CASE WHEN doc_id % 4 = 0 THEN 'S' ELSE '' END || '://'
+    || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END || source
+    || '.Example.com'
+    || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE ':80' END
+    || '/Path/' || CAST(doc_id % 7 AS VARCHAR)
+    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+    || '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+    || '&b=2&a=1'
+    || CASE WHEN doc_id % 2 = 0 THEN '&fbclid=XYZ' ELSE '' END
+    || '#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+  FROM documents),
+ parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '{_ure}', 1)) AS scheme,
+    lower(regexp_extract(url, '{_ure}', 2)) AS host0,
+    regexp_extract(url, '{_ure}', 3) AS port,
+    regexp_extract(url, '{_ure}', 4) AS path0,
+    regexp_extract(url, '{_ure}', 5) AS query
+  FROM u),
+ c AS (
+  SELECT doc_id,
+    CASE WHEN host0 LIKE 'www.%' THEN substring(host0, 5)
+         ELSE host0 END AS host,
+    scheme,
+    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+              OR (scheme = 'https' AND port = '443') THEN ''
+         ELSE ':' || port END AS port_part,
+    CASE WHEN path0 = '' THEN '/'
+         WHEN length(path0) > 1 AND path0 LIKE '%/'
+           THEN substring(path0, 1, length(path0) - 1)
+         ELSE path0 END AS path,
+    array_to_string(list_sort(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT list_contains([{_trk}],
+                                         string_split(p, '=')[1]))),
+      '&') AS qcanon
+  FROM parts),
+ canon AS (
+  SELECT doc_id, host,
+    scheme || '://' || host || port_part || path
+    || CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END AS url_canon
+  FROM c)
+SELECT doc_id, host, url_canon,
+  CAST(count(*) OVER (PARTITION BY url_canon) AS BIGINT) AS n_dups
+FROM canon
+"""
+
+    # x80: rank-sum AUC with average ranks for ties; auc_num2 stays
+    # integer end-to-end (CAST: DuckDB sums into HUGEINT), the single
+    # final division + round(9) is mirrored exactly.
+    o["x80_quality_auc"] = """
+WITH b AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS s,
+         CASE WHEN (doc_id * 2654435761) % 97 < 41 THEN 1 ELSE 0 END
+           AS lab
+  FROM documents),
+ r AS (
+  SELECT source, lab,
+         2 * rank() OVER (PARTITION BY source ORDER BY s)
+         + count(*) OVER (PARTITION BY source, s) - 1 AS r2
+  FROM b),
+ a AS (
+  SELECT source, CAST(sum(lab) AS BIGINT) AS n_pos,
+         CAST(sum(1 - lab) AS BIGINT) AS n_neg,
+         CAST(sum(CASE WHEN lab = 1 THEN r2 END)
+              - sum(lab) * (sum(lab) + 1) AS BIGINT) AS auc_num2
+  FROM r GROUP BY 1)
+SELECT source, n_pos, n_neg, auc_num2,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round(auc_num2 / (2.0 * n_pos * n_neg), 9)
+       END AS auc
+FROM a
 """
     return o

@@ -288,3 +288,56 @@ def exact_percentiles(df: DataFrame, group_col: str, value_expr,
         aggs.append(F.round(interp, 6).alias(name))
     aggs.extend(extra_aggs or [])
     return j.groupBy(group_col).agg(*aggs)
+
+
+def ranked_auc(df: DataFrame, group_col: str, score_col: str,
+               label_col: str) -> DataFrame:
+    """Tie-aware ROC AUC of a score against a binary label, per group.
+
+    The quality-classifier calibration number every model-based data
+    selection pipeline reports (does the fasttext/hashed-classifier
+    score actually rank kept docs above dropped ones?).  Uses the
+    rank-sum (Mann-Whitney U) identity with AVERAGE ranks for ties:
+
+        auc = (sum_{positives} avgrank - n_pos*(n_pos+1)/2)
+              / (n_pos * n_neg)
+
+    All intermediate arithmetic is INTEGER (2*avgrank = 2*rank_min +
+    tie_count - 1 is always integral), so ``auc_num2`` is bit-exact
+    across engines; the single final division is one IEEE op.  One
+    shuffle on ``group_col``: the rank window, the tie-count window
+    and the final aggregate all reuse the same hash partitioning, and
+    the window sort is the spillable ExternalSorter (no per-group
+    buffering — the ``exact_percentiles`` argument).  Rows with NULL
+    score or label are dropped (ignore-NULL, round-4 ADVICE).  Groups
+    with only one class get NULL ``auc``.
+
+    Output: ``(group, n_pos, n_neg, auc_num2, auc)`` where ``auc_num2``
+    = 2 * U (bigint) and ``auc`` is rounded to 9 dp.
+    """
+    from pyspark.sql import Window
+
+    lab = F.col("_lab")
+    base = df.select(
+        F.col(group_col),
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("bigint").alias("_lab"),
+    ).where(F.col("_s").isNotNull() & lab.isNotNull())
+    g = Window.partitionBy(group_col)
+    ranked = base.withColumns({
+        # 2*avgrank: min rank of the tie run + (run size - 1) spread
+        "_r2": 2 * F.rank().over(g.orderBy("_s"))
+        + F.count("*").over(g.orderBy("_s")
+                            .rangeBetween(0, 0)) - 1,
+    })
+    agg = ranked.groupBy(group_col).agg(
+        F.sum(lab).alias("n_pos"),
+        F.sum(1 - lab).alias("n_neg"),
+        (F.sum(F.when(lab == 1, F.col("_r2")))
+         - F.sum(lab) * (F.sum(lab) + 1)).alias("auc_num2"),
+    )
+    denom = 2 * F.col("n_pos") * F.col("n_neg")
+    return agg.select(
+        group_col, "n_pos", "n_neg", "auc_num2",
+        F.when(denom > 0,
+               F.round(F.col("auc_num2") / denom, 9)).alias("auc"))
