@@ -1314,6 +1314,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ranked_auc(seeded, "source", "score", "lab")
     q["x80_quality_auc"] = x80_quality_auc
 
+    def x81_funnel(spark, sf):
+        # ordered product-analytics funnel: users reaching view ->
+        # click -> purchase, each step strictly after the previous
+        # step's earliest qualifying event; k chained full-partition
+        # windows = ONE exchange on user_id, no self-joins
+        from paperslicer_spark.operators.temporal import funnel_steps
+        ev = _t(spark, sf, "events")
+        return funnel_steps(ev, "user_id", "ts", "event_type",
+                            ["view", "click", "purchase"])
+    q["x81_funnel"] = x81_funnel
+
+    def x82_retention(spark, sf):
+        # weekly retention-cohort matrix keyed on first signup; week
+        # arithmetic is exact integer days/7 (both engines truncate to
+        # Monday midnight); cohort_week emitted as a yyyy-MM-dd string
+        # (q15 date-canonicalization convention)
+        from paperslicer_spark.operators.temporal import retention_cohorts
+        ev = _t(spark, sf, "events")
+        return (retention_cohorts(ev, "user_id", "ts", "event_type")
+                .select(F.date_format("cohort_week", "yyyy-MM-dd")
+                        .alias("cohort_week"), "week_offset", "n_users"))
+    q["x82_retention"] = x82_retention
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -3620,5 +3643,46 @@ SELECT source, n_pos, n_neg, auc_num2,
             THEN round(auc_num2 / (2.0 * n_pos * n_neg), 9)
        END AS auc
 FROM a
+"""
+
+    # x81: same chained-window construction (t_k defined from t_{k-1}
+    # via CTE stacking); strict '>' tie rule mirrored exactly.
+    o["x81_funnel"] = """
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+    min(CASE WHEN event_type = 'view' THEN ts END)
+      OVER (PARTITION BY user_id) AS t0
+  FROM events),
+ w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+      OVER (PARTITION BY user_id) AS t1
+  FROM w1),
+ w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+      OVER (PARTITION BY user_id) AS t2
+  FROM w2),
+ pu AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+        FROM w3 GROUP BY 1),
+ c AS (SELECT count(t0) AS c0, count(t1) AS c1, count(t2) AS c2 FROM pu)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+       CAST(c0 AS BIGINT) AS n_users FROM c
+UNION ALL SELECT CAST(2 AS BIGINT), 'click', CAST(c1 AS BIGINT) FROM c
+UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', CAST(c2 AS BIGINT) FROM c
+"""
+
+    # x82: Monday-midnight week truncation in both engines; the
+    # datediff is an exact multiple of 7 so the // 7 is lossless.
+    o["x82_retention"] = """
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cw
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+ act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+         FROM events),
+ j AS (SELECT a.user_id, c.cw, a.w
+       FROM act a JOIN cohort c USING (user_id) WHERE a.w >= c.cw)
+SELECT strftime(CAST(cw AS DATE), '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', cw, w) // 7 AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM j GROUP BY 1, 2
 """
     return o

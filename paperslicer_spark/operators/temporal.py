@@ -276,3 +276,74 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: str,
     out_cols.extend(F.col(f"_m2.{c}").alias(f"{c}{suffix}")
                     for c in right_cols)
     return matched.select(*out_cols)
+
+
+def funnel_steps(df: DataFrame, user_col: str, ts_col: str,
+                 type_col: str, steps: list[str]) -> DataFrame:
+    """Ordered funnel analysis: how many users reach each step in order.
+
+    Step k counts a user iff an event of type ``steps[k]`` happened
+    STRICTLY after the user's earliest qualifying step-(k-1) event
+    (the standard product-analytics funnel; same-timestamp ties do not
+    advance the funnel — documented, both engines agree).
+
+    Shape: the step-k time is a full-partition ``min(when(...))``
+    window chained on the step-(k-1) column — all k windows partition
+    on ``user_col``, so Catalyst plans ONE exchange + one sort and
+    stacks the Window operators on it; the per-user relation then
+    aggregates to ``len(steps)`` rows.  No self-joins, no per-user
+    arrays, no k passes over the corpus.
+
+    Output: ``(step, step_name, n_users)`` with step 1-based.
+    """
+    w = Window.partitionBy(user_col)
+    cur = df.select(F.col(user_col), F.col(ts_col).alias("_ts"),
+                    F.col(type_col).alias("_ty"))
+    prev = None
+    for i, s in enumerate(steps):
+        cond = F.col("_ty") == s
+        if prev is not None:
+            cond = cond & (F.col("_ts") > F.col(prev))
+        cur = cur.withColumn(f"_t{i}",
+                             F.min(F.when(cond, F.col("_ts"))).over(w))
+        prev = f"_t{i}"
+    per_user = cur.groupBy(user_col).agg(
+        *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))])
+    counts = per_user.agg(*[
+        F.count(f"_t{i}").alias(f"_c{i}") for i in range(len(steps))])
+    rows = F.array(*[
+        F.struct(F.lit(i + 1).cast("bigint").alias("step"),
+                 F.lit(s).alias("step_name"),
+                 F.col(f"_c{i}").alias("n_users"))
+        for i, s in enumerate(steps)])
+    return (counts.select(F.explode(rows).alias("r"))
+            .select("r.step", "r.step_name", "r.n_users"))
+
+
+def retention_cohorts(df: DataFrame, user_col: str, ts_col: str,
+                      type_col: str,
+                      cohort_event: str = "signup") -> DataFrame:
+    """Weekly retention-cohort matrix.
+
+    Cohort = Monday-truncated week of the user's FIRST
+    ``cohort_event``; a user is retained in week offset k if they have
+    ANY event in cohort_week + k.  Pre-cohort activity is excluded.
+    Users without a cohort event are excluded.
+
+    Shape: one aggregate for the (small, n_users-sized) cohort
+    relation, one ``distinct`` over (user, week) — both shuffle on
+    ``user_col`` so the join is co-partitioned; week arithmetic is
+    exact integer days/7 (both truncations are Monday midnight).
+    Output: ``(cohort_week date, week_offset, n_users)``.
+    """
+    cohort = (df.where(F.col(type_col) == cohort_event)
+              .groupBy(user_col)
+              .agg(F.date_trunc("week", F.min(ts_col)).alias("_cw")))
+    active = (df.select(F.col(user_col),
+                        F.date_trunc("week", F.col(ts_col)).alias("_w"))
+              .distinct())
+    j = active.join(cohort, user_col).where(F.col("_w") >= F.col("_cw"))
+    return (j.groupBy(
+        F.col("_cw").cast("date").alias("cohort_week"),
+        (F.datediff("_w", "_cw") / 7).cast("bigint").alias("week_offset"))
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users")))
