@@ -1337,6 +1337,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("cohort_week"), "week_offset", "n_users"))
     q["x82_retention"] = x82_retention
 
+    def x83_transitions(spark, sf):
+        # first-order Markov transition matrix over per-user event
+        # streams; (ts, event_id) is a total order so the lead()
+        # pairing is engine-exact; p = single IEEE division round(9)
+        from paperslicer_spark.operators.temporal import transition_counts
+        ev = _t(spark, sf, "events")
+        return transition_counts(ev, "user_id", "ts", "event_type",
+                                 tiebreak_cols=["event_id"])
+    q["x83_transitions"] = x83_transitions
+
+    def x84_score_deciles(spark, sf):
+        # quality-threshold calibration table: per-source deciles of
+        # n_chars with a doc_id tiebreak (bare ntile over a non-unique
+        # order is row-order dependent); all-integer aggregates
+        from paperslicer_spark.operators.metrics import score_deciles
+        docs = _t(spark, sf, "documents")
+        return score_deciles(docs, "source", "n_chars", "doc_id")
+    q["x84_score_deciles"] = x84_score_deciles
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -3684,5 +3703,36 @@ SELECT strftime(CAST(cw AS DATE), '%Y-%m-%d') AS cohort_week,
        CAST(datediff('day', cw, w) // 7 AS BIGINT) AS week_offset,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM j GROUP BY 1, 2
+"""
+
+    # x83: identical lead() pairing under the (ts, event_id) total
+    # order; the row-normalizing total is a window over the tiny
+    # counts relation in both engines.
+    o["x83_transitions"] = """
+WITH p AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_state
+  FROM events),
+ c AS (SELECT from_state, to_state, count(*) AS n
+       FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2)
+SELECT from_state, to_state, n,
+       round(n / (sum(n) OVER (PARTITION BY from_state)), 9) AS p
+FROM c
+"""
+
+    # x84: ntile is ANSI — equal buckets, remainder to the leading
+    # buckets; the (score, id) total order makes assignment exact.
+    o["x84_score_deciles"] = """
+WITH b AS (
+  SELECT source, n_chars, doc_id,
+         CAST(ntile(10) OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS BIGINT)
+           AS bucket
+  FROM documents)
+SELECT source, bucket, count(*) AS n,
+       min(n_chars) AS min_score, max(n_chars) AS max_score,
+       CAST(sum(n_chars) AS BIGINT) AS sum_score
+FROM b GROUP BY 1, 2
 """
     return o

@@ -341,3 +341,30 @@ def ranked_auc(df: DataFrame, group_col: str, score_col: str,
         group_col, "n_pos", "n_neg", "auc_num2",
         F.when(denom > 0,
                F.round(F.col("auc_num2") / denom, 9)).alias("auc"))
+
+
+def score_deciles(df: DataFrame, group_col: str, score_col: str,
+                  id_col: str, n_buckets: int = 10) -> DataFrame:
+    """Equal-count score-bucket calibration table per group.
+
+    The "decile table" a quality-score rollout reviews before picking
+    a keep threshold: bucket k holds the k-th ntile of rows by
+    (score, id) — the id tiebreak makes the bucketing deterministic
+    (bare ntile over a non-unique order is engine/row-order dependent).
+
+    One exchange on ``group_col`` (ntile window + final aggregate
+    share it); the output is groups×buckets-sized.  All-integer when
+    the score is integral (sums stay bigint).
+
+    Output: ``(group, bucket, n, min_score, max_score, sum_score)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    return (df.withColumn("bucket",
+                          F.ntile(n_buckets).over(w).cast("bigint"))
+            .groupBy(group_col, "bucket")
+            .agg(F.count("*").alias("n"),
+                 F.min(score_col).alias("min_score"),
+                 F.max(score_col).alias("max_score"),
+                 F.sum(score_col).alias("sum_score")))

@@ -347,3 +347,36 @@ def retention_cohorts(df: DataFrame, user_col: str, ts_col: str,
         F.col("_cw").cast("date").alias("cohort_week"),
         (F.datediff("_w", "_cw") / 7).cast("bigint").alias("week_offset"))
         .agg(F.count_distinct(F.col(user_col)).alias("n_users")))
+
+
+def transition_counts(df: DataFrame, key_col: str, ts_col: str,
+                      state_col: str,
+                      tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """First-order Markov transition matrix over per-key event streams.
+
+    For each key's events in (``ts_col``, ``tiebreak_cols``) order,
+    count consecutive (state -> next state) pairs and the row-
+    normalized transition probability.  The ordering MUST be total —
+    pass a unique tiebreaker (e.g. event_id) or same-timestamp rows
+    make the lead() pairing engine-dependent.
+
+    Shape: one exchange on ``key_col`` for the lead() window, one
+    (states²-sized) aggregate, and the row-normalizing sum is a window
+    over that tiny relation — never a broadcast-back of its own
+    aggregate (the measured bm25 re-scan trap).  Probability is the
+    single IEEE division, rounded to 9 dp.
+
+    Output: ``(from_state, to_state, n, p)``.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    nxt = F.lead(state_col).over(w)
+    pairs = (df.select(F.col(state_col).alias("from_state"),
+                       nxt.alias("to_state"))
+             .where(F.col("to_state").isNotNull()))
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count("*").alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("from_state"))
+    return counts.select(
+        "from_state", "to_state", "n",
+        F.round(F.col("n") / tot, 9).alias("p"))
