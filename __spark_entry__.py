@@ -1356,6 +1356,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return score_deciles(docs, "source", "n_chars", "doc_id")
     q["x84_score_deciles"] = x84_score_deciles
 
+    def x85_session_durations(spark, sf):
+        # sessionize (30-min integer-µs gap, (ts,event_id) total
+        # order) then exact global duration percentiles — the ranked
+        # relation is n_sessions-sized, not corpus-sized; quantile
+        # rule = R-7, bit-equal to DuckDB quantile_cont (x37 machinery)
+        from paperslicer_spark.operators.metrics import exact_percentiles
+        from paperslicer_spark.operators.temporal import session_durations
+        ev = _t(spark, sf, "events")
+        sess = (session_durations(ev, "user_id", "ts",
+                                  tiebreak_cols=["event_id"])
+                .withColumn("k", F.lit("all")))
+        # extra_aggs see only the ranked (k, _v) relation — count(*)
+        # is n_sessions (dur_us never NULL); per-session sums would
+        # need their own aggregate
+        return exact_percentiles(
+            sess, "k", F.col("dur_us"),
+            {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+            extra_aggs=[F.count("*").alias("n_sessions")])
+    q["x85_session_durations"] = x85_session_durations
+
+    def x86_indegree_hist(spark, sf):
+        # power-law check on the link graph: log-binned in-degree
+        # histogram — graph (x78 edge generator) composed with the
+        # mergeable hist_sketch (x63 machinery); corpus never leaves
+        # the JVM, output is <=64 rows
+        from paperslicer_spark.operators.graph import synthetic_link_graph
+        from paperslicer_spark.operators.sketch import hist_sketch
+        docs = _t(spark, sf, "documents")
+        edges = synthetic_link_graph(docs, "doc_id")
+        indeg = (edges.groupBy("dst").agg(F.count("*").alias("indeg"))
+                 .withColumn("k", F.lit("indeg")))
+        return hist_sketch(indeg, "k", F.col("indeg"))
+    q["x86_indegree_hist"] = x86_indegree_hist
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -3734,5 +3768,51 @@ SELECT source, bucket, count(*) AS n,
        min(n_chars) AS min_score, max(n_chars) AS max_score,
        CAST(sum(n_chars) AS BIGINT) AS sum_score
 FROM b GROUP BY 1, 2
+"""
+
+    # x85: identical integer-µs session assignment under the
+    # (ts, event_id) total order; quantile_cont == exact_percentiles'
+    # R-7 interpolation (the proven x37 pairing), round(6).
+    o["x85_session_durations"] = """
+WITH g AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ s AS (
+  SELECT user_id,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid,
+    us
+  FROM g),
+ d AS (
+  SELECT user_id, sid, CAST(max(us) - min(us) AS DOUBLE) AS v,
+         count(*) AS ne
+  FROM s GROUP BY 1, 2)
+SELECT 'all' AS k,
+  round(quantile_cont(v, 0.5), 6) AS p50,
+  round(quantile_cont(v, 0.9), 6) AS p90,
+  round(quantile_cont(v, 0.99), 6) AS p99,
+  count(*) AS n_sessions
+FROM d
+"""
+
+    # x86: x78's edge CTE composed with x63's bit_length binning.
+    o["x86_indegree_hist"] = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+ nodes AS (SELECT doc_id AS id FROM documents),
+ edges AS (
+   SELECT DISTINCT src, dst FROM (
+     SELECT id AS src, (id*31 + 7) % nn.n AS dst FROM nodes, nn
+     UNION ALL SELECT id, (id*17 + 3) % nn.n FROM nodes, nn
+     UNION ALL SELECT id, (id*5 + 11) % nn.n FROM nodes, nn)),
+ indeg AS (SELECT dst, CAST(count(*) AS BIGINT) AS v
+           FROM edges GROUP BY 1)
+SELECT 'indeg' AS key,
+  CAST(CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS INT) AS bin,
+  count(*) AS c
+FROM indeg GROUP BY 1, 2
 """
     return o

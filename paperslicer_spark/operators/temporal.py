@@ -380,3 +380,37 @@ def transition_counts(df: DataFrame, key_col: str, ts_col: str,
     return counts.select(
         "from_state", "to_state", "n",
         F.round(F.col("n") / tot, 9).alias("p"))
+
+
+def session_durations(df: DataFrame, key_col: str, ts_col: str,
+                      gap_us: int = 1_800_000_000,
+                      tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """Sessionize per-key event streams and emit one row per session.
+
+    A session breaks when the gap to the previous event exceeds
+    ``gap_us`` (integer epoch-µs end-to-end — the range_join round-4
+    lesson; sub-second gaps stay exact).  Output: ``(key, session_id,
+    dur_us, n_events)`` where session_id is the per-key 1-based break
+    cumsum and dur_us = last - first event µs (0 for singletons).
+
+    One exchange on ``key_col``: the lag window, the cumsum window and
+    the session aggregate all share it.  The output relation is
+    n_sessions-sized — the cheap input exact global percentiles or
+    histograms then run on (x85 composes it with
+    ``metrics.exact_percentiles``).
+    """
+    ties = [F.col(c) for c in (tiebreak_cols or [])]
+    base = df.select(
+        F.col(key_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        *ties)
+    # ordering by the integer µs is the same total preorder as ts
+    w = Window.partitionBy(key_col).orderBy(F.col("_us"), *ties)
+    gap = F.col("_us") - F.lag("_us").over(w)
+    new_s = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    sid = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (base.withColumn("session_id", sid.cast("bigint"))
+            .groupBy(key_col, "session_id")
+            .agg((F.max("_us") - F.min("_us")).alias("dur_us"),
+                 F.count("*").alias("n_events")))

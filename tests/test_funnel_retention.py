@@ -106,3 +106,41 @@ def test_retention_vs_bruteforce(spark):
     assert got == _ref_retention(rows)
     # offset 0 rows exist (signup week itself counts as active)
     assert any(k[1] == 0 for k in got)
+
+
+def _ref_sessions(rows, gap_us=1_800_000_000):
+    from collections import defaultdict
+    by_user = defaultdict(list)
+    for u, ts, _ in rows:
+        by_user[u].append(ts)
+    out = {}
+    for u, tss in by_user.items():
+        tss.sort()
+        sid, start, prev, n = 0, None, None, 0
+        epoch = dt.datetime(1970, 1, 1)
+        us = [int((t - epoch).total_seconds() * 1_000_000) for t in tss]
+        for t in us:
+            if prev is None or t - prev > gap_us:
+                if sid:
+                    out[(u, sid)] = (prev - start, n)
+                sid += 1
+                start, n = t, 0
+            prev = t
+            n += 1
+        out[(u, sid)] = (prev - start, n)
+    return out
+
+
+def test_session_durations_vs_bruteforce(spark):
+    from paperslicer_spark.operators.temporal import session_durations
+    rows = _mk_events(seed=85)
+    # strip type; give each row a unique tiebreak id
+    evs = [(u, ts, i) for i, (u, ts, _) in enumerate(rows)]
+    df = spark.createDataFrame(
+        evs, "user_id string, ts timestamp, event_id bigint")
+    got = {(r["user_id"], r["session_id"]): (r["dur_us"], r["n_events"])
+           for r in session_durations(df, "user_id", "ts",
+                                      tiebreak_cols=["event_id"])
+           .collect()}
+    assert got == _ref_sessions(evs)
+    assert all(d >= 0 for d, _ in got.values())
