@@ -1390,6 +1390,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hist_sketch(indeg, "k", F.col("indeg"))
     q["x86_indegree_hist"] = x86_indegree_hist
 
+    def x87_robust_outliers(spark, sf):
+        # median/MAD length-outlier profile per source — the robust
+        # (heavy-tail-immune) alternative to mean±stddev gates; two
+        # spillable ranked passes (x37 machinery), flag count via a
+        # broadcast of the groups-sized (med, mad) relation
+        from paperslicer_spark.operators.metrics import robust_outliers
+        docs = _t(spark, sf, "documents")
+        return robust_outliers(docs, "source", F.col("n_chars"))
+    q["x87_robust_outliers"] = x87_robust_outliers
+
+    def x88_cooccurrence(spark, sf):
+        # GloVe-style windowed co-occurrence counts (window=3, 1/d
+        # decay kept integer via the LCM-6 trick); zero-shuffle HOF
+        # pair fan-out, map-side-combined count, TakeOrdered top-k
+        from paperslicer_spark.operators.curation import (
+            cooccurrence_counts)
+        docs = _t(spark, sf, "documents")
+        return cooccurrence_counts(docs, "text", window=3, top_k=200)
+    q["x88_cooccurrence"] = x88_cooccurrence
+
+    def x89_snapshot_diff(spark, sf):
+        # incremental-ingest ledger: v2 snapshot derived by a shared
+        # deterministic rule (doc_id%20: 0→modified, 1→deleted,
+        # 2→also cloned as an added doc at id+1e9), classified by ONE
+        # co-partitioned full-outer join on (id, md5) projections,
+        # rolled up per (source, change)
+        from paperslicer_spark.operators.snapshot import (
+            diff_summary, snapshot_diff)
+        docs = _t(spark, sf, "documents")
+        b = F.col("doc_id") % 20
+        added = docs.where(b == 2).select(
+            (F.col("doc_id") + 1000000000).alias("doc_id"),
+            F.concat(F.lit("new:"), F.col("text")).alias("text"),
+            "source")
+        v2 = docs.where(b != 1).select(
+            "doc_id",
+            F.when(b == 0, F.concat(F.col("text"), F.lit(" [rev2]")))
+             .otherwise(F.col("text")).alias("text"),
+            "source").unionByName(added)
+        diff = snapshot_diff(docs, v2, "doc_id", F.md5("text"))
+        dims = docs.select("doc_id", "source").unionByName(
+            added.select("doc_id", "source"))
+        return diff_summary(diff, dims, "doc_id", "source")
+    q["x89_snapshot_diff"] = x89_snapshot_diff
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -3814,5 +3859,72 @@ SELECT 'indeg' AS key,
   CAST(CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS INT) AS bin,
   count(*) AS c
 FROM indeg GROUP BY 1, 2
+"""
+
+    # x87: med/mad = quantile_cont round(6) (the proven x37 pairing);
+    # deviations computed FROM the rounded median in both engines,
+    # flag = one IEEE multiply + compare of exact inputs.
+    o["x87_robust_outliers"] = """
+WITH v AS (SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents),
+ med AS (SELECT source, round(quantile_cont(v, 0.5), 6) AS med
+         FROM v GROUP BY 1),
+ dev AS (SELECT v.source, abs(v.v - med.med) AS d
+         FROM v JOIN med USING (source)),
+ mad AS (SELECT source, round(quantile_cont(d, 0.5), 6) AS mad
+         FROM dev GROUP BY 1)
+SELECT v.source, med.med, mad.mad, count(*) AS n,
+  CAST(sum(CASE WHEN abs(v.v - med.med) > 3.0 * mad.mad
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM v JOIN med USING (source) JOIN mad USING (source)
+GROUP BY 1, 2, 3
+"""
+
+    # x88: identical pair fan-out via lateral position/distance
+    # unnests; 6//d is exact integer in both engines (LCM trick);
+    # (w6, n, w1, w2) is a total order so the LIMIT edge is exact.
+    o["x88_cooccurrence"] = """
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+ t2 AS (SELECT t FROM toks WHERE len(t) >= 2),
+ pairs AS (
+  SELECT t[i] AS w1, t[i + d] AS w2, CAST(6 // d AS BIGINT) AS w
+  FROM t2,
+       UNNEST(range(1, len(t))) AS u(i),
+       UNNEST([1, 2, 3]) AS v(d)
+  WHERE i + d <= len(t)),
+ agg AS (SELECT w1, w2, count(*) AS n, CAST(sum(w) AS BIGINT) AS w6
+         FROM pairs GROUP BY 1, 2)
+SELECT w1, w2, n, w6 FROM agg
+ORDER BY w6 DESC, n DESC, w1, w2 LIMIT 200
+"""
+
+    # x89: same v2 derivation rule, full-outer diff on md5
+    # fingerprints, (source, change) rollup; added ids are disjoint
+    # from v1 ids so dims needs no dedup.
+    o["x89_snapshot_diff"] = """
+WITH v2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 20 = 0 THEN text || ' [rev2]' ELSE text END
+      AS text
+  FROM documents WHERE doc_id % 20 <> 1
+  UNION ALL
+  SELECT doc_id + 1000000000, 'new:' || text
+  FROM documents WHERE doc_id % 20 = 2),
+ d AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+    CASE WHEN a.doc_id IS NULL THEN 'added'
+         WHEN b.doc_id IS NULL THEN 'removed'
+         WHEN md5(a.text) = md5(b.text) THEN 'unchanged'
+         ELSE 'modified' END AS change
+  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id),
+ dims AS (
+  SELECT doc_id, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000, source FROM documents
+  WHERE doc_id % 20 = 2)
+SELECT dims.source, d.change, count(*) AS n
+FROM d JOIN dims USING (doc_id)
+GROUP BY 1, 2
 """
     return o

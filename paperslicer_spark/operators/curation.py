@@ -1110,3 +1110,51 @@ def source_kl(df: DataFrame, source_col: str, text_col: str
         "source", "n_tokens",
         F.round(F.col("_part") + F.log(grand.cast("double")), 6)
         .alias("kl"))
+
+
+def cooccurrence_counts(df: DataFrame, text_col: str, window: int = 3,
+                        top_k: int = 200) -> DataFrame:
+    """GloVe-style windowed term co-occurrence counts — the
+    corpus-touching half of co-occurrence-factorization embedding
+    training (GloVe / SVD-PPMI): for every token and every following
+    token at distance ``d ≤ window``, accumulate a count and the
+    distance-decayed weight GloVe uses (``1/d``), kept INTEGER via the
+    LCM trick (``6/d ∈ {6, 3, 2}`` for window=3) so the output is
+    exact bigint arithmetic, engine-portable like the money-cents ops.
+
+    Output ``(w1, w2, n, w6)``: the top-``top_k`` ordered pairs by
+    decayed weight (ties: n desc, then pair text), with ``w6`` =
+    6 × Σ 1/d.
+
+    Scale: the pair fan-out is a ZERO-shuffle nested-HOF flatten on
+    the base scan (≤ window × n_tokens rows, no self-join on
+    position); the (w1, w2) count is a map-side-combined groupBy, so
+    the stop-word hot pairs ("the","of") are crushed by partial
+    aggregation before the exchange; the top-k cut is
+    TakeOrderedAndProject (per-partition k-row heaps, no global
+    sort).  ``t`` is a materialized column attribute, so referencing
+    it inside the nested lambdas is safe under the no-CSE rule.
+    """
+    from pyspark.sql import Window
+
+    assert window == 3, "LCM weights are fixed for window=3"
+    t = (df.where(F.trim(F.col(text_col)) != "")
+         .select(tokens(F.lower(F.col(text_col))).alias("t"))
+         .where(F.size("t") >= 2))
+    pairs = t.select(F.explode(F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.least(i + window, F.size("t"))),
+            lambda j: F.struct(
+                F.col("t")[i - 1].alias("w1"),
+                F.col("t")[j - 1].alias("w2"),
+                # 6/d exact in double for d ∈ {1,2,3} → exact bigint
+                (F.lit(6) / (j - i)).cast("bigint").alias("w")
+            ))))).alias("p"))
+    agg = pairs.groupBy(F.col("p.w1").alias("w1"),
+                        F.col("p.w2").alias("w2")).agg(
+        F.count("*").alias("n"),
+        F.sum("p.w").cast("bigint").alias("w6"))
+    top = agg.orderBy(F.col("w6").desc(), F.col("n").desc(),
+                      "w1", "w2").limit(top_k)
+    return top

@@ -368,3 +368,48 @@ def score_deciles(df: DataFrame, group_col: str, score_col: str,
                  F.min(score_col).alias("min_score"),
                  F.max(score_col).alias("max_score"),
                  F.sum(score_col).alias("sum_score")))
+
+
+def robust_outliers(df: DataFrame, group_col: str, value_expr,
+                    k: float = 3.0) -> DataFrame:
+    """Median/MAD robust outlier profile per group.
+
+    The length/score-distribution guard a curation pipeline runs
+    before trusting mean±stddev gates: corpus stats are heavy-tailed,
+    so the robust center is the median and the robust spread is the
+    MAD (median absolute deviation), both immune to the outliers they
+    are hunting.  A row is flagged when ``|v - med| > k * mad``.
+
+    Built on :func:`exact_percentiles` (spillable window rank — never
+    a whole-group aggregator buffer), so it inherits the 100 TB shape:
+    two ranked passes over the corpus (values, then deviations), each
+    ONE exchange on ``group_col``, plus a final broadcast of the
+    groups-sized (med, mad) relation back to the scan for the flag
+    count.  NULL values are dropped (ignore-NULL, round-4 ADVICE).
+
+    Determinism contract: ``med``/``mad`` are round(6) doubles from
+    exact_percentiles' R-7 rule (DuckDB ``quantile_cont`` pairing);
+    deviations are computed FROM the rounded median in both engines,
+    and the flag compares against ``k * mad`` — one IEEE multiply of
+    exact inputs, bit-identical across engines.
+
+    Output: ``(group, med, mad, n, n_outliers)``.
+    """
+    vals = df.select(F.col(group_col),
+                     value_expr.cast("double").alias("_v"))
+    med = exact_percentiles(vals, group_col, F.col("_v"),
+                            {"med": 0.5})
+    dev = vals.join(F.broadcast(med), group_col).select(
+        group_col, "_v", (F.abs(F.col("_v") - F.col("med"))).alias("_d"))
+    mad = exact_percentiles(dev, group_col, F.col("_d"),
+                            {"mad": 0.5})
+    stats = med.join(mad, group_col)
+    return (vals.where(F.col("_v").isNotNull())
+            .join(F.broadcast(stats), group_col)
+            .groupBy(group_col)
+            .agg(F.first("med").alias("med"),
+                 F.first("mad").alias("mad"),
+                 F.count("*").alias("n"),
+                 F.sum((F.abs(F.col("_v") - F.col("med"))
+                        > F.lit(k) * F.col("mad")).cast("bigint"))
+                 .alias("n_outliers")))
