@@ -1435,6 +1435,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return diff_summary(diff, dims, "doc_id", "source")
     q["x89_snapshot_diff"] = x89_snapshot_diff
 
+    def x90_cdf_normalize(spark, sf):
+        # per-source empirical-CDF (percent-rank) score calibration
+        # — makes quality scores comparable across sources before
+        # mixing; one window exchange, (score, id) total order
+        from paperslicer_spark.operators.metrics import cdf_normalize
+        docs = _t(spark, sf, "documents")
+        return cdf_normalize(docs, "source", "n_chars", "doc_id")
+    q["x90_cdf_normalize"] = x90_cdf_normalize
+
+    def x91_ngram_diversity(spark, sf):
+        # per-source distinct-trigram ratio (mode-collapse audit);
+        # zero-shuffle gram fan-out, map-side-combined (source, gram)
+        # count, rollup over the vocabulary-sized relation
+        from paperslicer_spark.operators.curation import ngram_diversity
+        docs = _t(spark, sf, "documents")
+        return ngram_diversity(docs, "source", "text", n=3)
+    q["x91_ngram_diversity"] = x91_ngram_diversity
+
+    def x92_semantic_decontaminate(spark, sf):
+        # embedding-space benchmark decontamination: bench = scaled
+        # copies of every 13th corpus vector (scaling is cosine-
+        # invariant, so each source row is a guaranteed planted hit),
+        # exact path = broadcast nested-loop against the eval-sized
+        # bench, survivors-only top-1 window
+        from paperslicer_spark.operators.similarity import (
+            semantic_decontaminate)
+        emb = _t(spark, sf, "embeddings")
+        bench = emb.where(F.col("vec_id") % 13 == 0).select(
+            (F.col("vec_id") + 500000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(2.0))
+            .alias("embedding"))
+        return semantic_decontaminate(emb, bench, threshold=0.5)
+    q["x92_semantic_decontaminate"] = x92_semantic_decontaminate
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -3926,5 +3960,54 @@ WITH v2 AS (
 SELECT dims.source, d.change, count(*) AS n
 FROM d JOIN dims USING (doc_id)
 GROUP BY 1, 2
+"""
+
+    # x90: ANSI percent_rank over the identical (score, id) total
+    # order; one window in both engines, round(9).
+    o["x90_cdf_normalize"] = """
+SELECT doc_id, source, n_chars,
+  round(percent_rank() OVER (PARTITION BY source
+                             ORDER BY n_chars, doc_id), 9) AS pct
+FROM documents
+"""
+
+    # x91: identical trigram fan-out (1-based positions i..i+2); the
+    # final ratio is one IEEE division of exact integers, round(6).
+    o["x91_ngram_diversity"] = """
+WITH toks AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+ g AS (
+  SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3),
+ sg AS (SELECT source, g, count(*) AS c FROM g GROUP BY 1, 2)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_grams,
+  count(*) AS n_distinct,
+  round(count(*) / sum(c), 6) AS distinct_ratio
+FROM sg GROUP BY 1
+"""
+
+    # x92: same planted-bench derivation (x*2.0 is exact fp doubling,
+    # cosine-invariant); list_cosine_similarity == the engine's
+    # aggregate cosine at 6dp (the proven x20 pairing); top-1 via
+    # the same (cos desc, bench_id) row_number rule.
+    o["x92_semantic_decontaminate"] = """
+WITH bench AS (
+  SELECT vec_id + 500000 AS bench_id,
+    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) AS bv
+  FROM embeddings WHERE vec_id % 13 = 0),
+ hits AS (
+  SELECT t.vec_id, b.bench_id,
+    round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]), b.bv),
+          6) AS cos
+  FROM embeddings t, bench b
+  WHERE round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+                                     b.bv), 6) >= 0.5),
+ r AS (SELECT vec_id, bench_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, bench_id) AS rn
+       FROM hits)
+SELECT vec_id, bench_id, cos FROM r WHERE rn = 1
 """
     return o

@@ -1158,3 +1158,39 @@ def cooccurrence_counts(df: DataFrame, text_col: str, window: int = 3,
     top = agg.orderBy(F.col("w6").desc(), F.col("n").desc(),
                       "w1", "w2").limit(top_k)
     return top
+
+
+def ngram_diversity(df: DataFrame, source_col: str, text_col: str,
+                    n: int = 3) -> DataFrame:
+    """Per-source n-gram diversity audit — the self-repetition /
+    mode-collapse check run on synthetic or heavily-templated data
+    before it enters a mix: a source whose distinct-trigram ratio
+    collapses is stamping out near-identical text even when exact
+    dedup finds nothing.
+
+    Output per source: ``(source, n_grams, n_distinct, distinct_ratio)``
+    with the ratio = one IEEE division, rounded to 6dp.
+
+    Scale: gram fan-out is a zero-shuffle HOF flatten on the base
+    scan (bind()-bound token array — the no-CSE rule); the
+    (source, gram) count is map-side-combined, so hot boilerplate
+    grams collapse before the exchange; the per-source rollup then
+    runs over the vocabulary-sized relation, never the corpus.
+    """
+    grams = df.where(F.trim(F.col(text_col)) != "").select(
+        F.col(source_col).alias("source"),
+        F.explode(bind(
+            tokens(F.lower(F.col(text_col))),
+            lambda t: F.when(
+                F.size(t) < n, F.array().cast("array<string>")
+            ).otherwise(F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.array_join(F.slice(t, i + 1, n), " "))))
+        ).alias("g"))
+    sg = grams.groupBy("source", "g").agg(F.count("*").alias("c"))
+    return (sg.groupBy("source")
+            .agg(F.sum("c").cast("bigint").alias("n_grams"),
+                 F.count("*").alias("n_distinct"))
+            .select("source", "n_grams", "n_distinct",
+                    F.round(F.col("n_distinct") / F.col("n_grams"), 6)
+                    .alias("distinct_ratio")))

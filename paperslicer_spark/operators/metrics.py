@@ -413,3 +413,26 @@ def robust_outliers(df: DataFrame, group_col: str, value_expr,
                  F.sum((F.abs(F.col("_v") - F.col("med"))
                         > F.lit(k) * F.col("mad")).cast("bigint"))
                  .alias("n_outliers")))
+
+
+def cdf_normalize(df: DataFrame, group_col: str, score_col: str,
+                  id_col: str) -> DataFrame:
+    """Per-group empirical-CDF score normalization (percent-rank) —
+    the cross-source calibration step before mixing quality scores
+    computed on different sources: raw scores are incomparable across
+    sources, their within-source percentiles are.
+
+    ``pct = (rank - 1) / (n - 1)`` over the (score, id) total order
+    (the ANSI ``percent_rank`` both engines implement identically;
+    the id tiebreak makes ranks deterministic under duplicate
+    scores; single-row groups get 0 by convention).  One exchange on
+    ``group_col``, spillable window sort, output corpus-sized.
+
+    Output: ``(id, group, score, pct)`` with pct rounded to 9dp.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    return df.select(
+        F.col(id_col), F.col(group_col), F.col(score_col),
+        F.round(F.percent_rank().over(w), 9).alias("pct"))

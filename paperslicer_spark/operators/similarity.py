@@ -457,3 +457,48 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, iters: int = 2,
 
     return _assign(cents).select(
         F.col("_id").alias(id_col), "list_id", "dist")
+
+
+def semantic_decontaminate(corpus: DataFrame, bench: DataFrame,
+                           threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           bits: int | None = None) -> DataFrame:
+    """Semantic benchmark decontamination — the embedding-space twin
+    of dedup.decontaminate's n-gram overlap: flag every training
+    vector whose cosine to ANY benchmark vector reaches ``threshold``
+    (paraphrased eval leakage that token overlap misses).
+
+    Output: ``(vec_id, bench_id, cos)`` — one row per contaminated
+    training vector, paired with its best-matching benchmark item
+    (ties: max cos first, then min bench_id; both 6dp-rounded before
+    thresholding so the SQL oracle agrees at the boundary).
+
+    Scale: the bench side is eval-suite-sized (thousands), so the
+    exact path is a BROADCAST nested-loop — each executor scans its
+    training partition once against the in-memory bench; nothing
+    shuffles but the flagged survivors entering the per-vector top-1
+    window (contamination-sized, not corpus-sized).  For a bench too
+    large to broadcast, pass ``bits`` to block candidates by the
+    shared sign-LSH bucket (equi-join; recall < 1 by design — the
+    cosine_dup_pairs trade, documented there).
+    """
+    t = corpus.select(F.col(id_col).alias("t_id"),
+                      F.col(vec_col).alias("tv"))
+    b = bench.select(F.col(id_col).alias("bench_id"),
+                     F.col(vec_col).alias("bv"))
+    if bits:
+        t = t.withColumn("bucket", sign_lsh_bucket(F.col("tv"), bits))
+        b = b.withColumn("bucket", sign_lsh_bucket(F.col("bv"), bits))
+        j = t.join(F.broadcast(b), "bucket")
+    else:
+        j = t.crossJoin(F.broadcast(b))
+    hits = (j.select("t_id", "bench_id",
+                     F.round(cosine(F.col("tv"), F.col("bv")), 6)
+                     .alias("cos"))
+            .where(F.col("cos") >= threshold))
+    w = Window.partitionBy("t_id").orderBy(
+        F.col("cos").desc(), F.col("bench_id").asc())
+    return (hits.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select(F.col("t_id").alias(id_col), "bench_id", "cos"))
