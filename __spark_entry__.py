@@ -1469,6 +1469,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return semantic_decontaminate(emb, bench, threshold=0.5)
     q["x92_semantic_decontaminate"] = x92_semantic_decontaminate
 
+    def x93_key_skew(spark, sf):
+        # pre-shuffle key-skew diagnostic: top-20 heaviest user_id
+        # keys with corpus share + skew factor; map-side-combined
+        # count, reused exchange for the 1-row stats, TakeOrdered cut
+        from paperslicer_spark.operators.metrics import key_skew_profile
+        ev = _t(spark, sf, "events")
+        return key_skew_profile(ev, F.col("user_id"), top_k=20)
+    q["x93_key_skew"] = x93_key_skew
+
+    def x94_rate_anomaly(spark, sf):
+        # trailing-24h z-score on per-type hourly event rates
+        # (current bucket excluded from its own baseline); integer
+        # sums in a RANGE frame → z = (n·c−s)/√(n·ss−s²), one IEEE
+        # sqrt + one division over exact bigints
+        from paperslicer_spark.operators.temporal import rate_anomaly
+        ev = _t(spark, sf, "events")
+        return rate_anomaly(ev, "event_type", "ts")
+    q["x94_rate_anomaly"] = x94_rate_anomaly
+
+    def x95_containment_pairs(spark, sf):
+        # asymmetric near-dup (quote/subset) detection: n-gram
+        # overlap coefficient inter/min(|A|,|B|) ≥ 0.4 under the q11
+        # stop-shingle cap — same no-self-join capped plan shape
+        return DD.containment_pairs(_t(spark, sf, "documents"),
+                                    "doc_id", "text", n=3,
+                                    threshold=0.4, max_doc_freq=50)
+    q["x95_containment_pairs"] = x95_containment_pairs
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -4009,5 +4037,66 @@ WITH bench AS (
                             ORDER BY cos DESC, bench_id) AS rn
        FROM hits)
 SELECT vec_id, bench_id, cos FROM r WHERE rn = 1
+"""
+
+    # x93: identical (c desc, key) total order; frac/skew are single
+    # IEEE divisions of exact bigints.
+    o["x93_key_skew"] = """
+WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS c
+           FROM events GROUP BY 1),
+ s AS (SELECT CAST(sum(c) AS BIGINT) AS rows_, count(*) AS keys_
+       FROM c),
+ t AS (SELECT key, c FROM c ORDER BY c DESC, key LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY c DESC, key) AS BIGINT)
+         AS rank,
+  key, c, round(c / s.rows_, 9) AS frac,
+  round(c * s.keys_ / s.rows_, 6) AS skew
+FROM t, s
+"""
+
+    # x94: same integer hour buckets (// == the pmod floor-div) and
+    # the same trailing RANGE frame; z clears all divisions out of
+    # the baseline so both engines do one sqrt + one division over
+    # exact bigints.
+    o["x94_rate_anomaly"] = """
+WITH hc AS (
+  SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hr,
+         count(*) AS c
+  FROM events GROUP BY 1, 2),
+ w AS (
+  SELECT key, hr, c,
+    count(*) OVER tw AS n,
+    CAST(sum(c) OVER tw AS BIGINT) AS s,
+    CAST(sum(c * c) OVER tw AS BIGINT) AS ss
+  FROM hc
+  WINDOW tw AS (PARTITION BY key ORDER BY hr
+                RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT key, hr, c, n AS n_base, s AS s_base,
+  CASE WHEN n >= 12 AND n * ss - s * s > 0
+       THEN round((n * c - s)
+                  / sqrt(CAST(n * ss - s * s AS DOUBLE)), 6)
+  END AS z
+FROM w
+"""
+
+    # x95: q11's capped-shingle relation with the overlap-coefficient
+    # (containment) score instead of Jaccard.
+    o["x95_containment_pairs"] = f"""
+WITH {_GRAMS_CTE},
+ shh AS (SELECT doc, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                AS shingle FROM sh),
+ shf AS (SELECT doc, shingle FROM shh
+         QUALIFY count(*) OVER (PARTITION BY shingle) <= 50),
+ sz AS (SELECT doc, count(*) AS sz FROM shf GROUP BY doc),
+ inter AS (
+   SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+   FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc < b.doc
+   GROUP BY a.doc, b.doc)
+SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+  round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 6) AS cont
+FROM inter
+JOIN sz sa ON sa.doc = doc_a
+JOIN sz sb ON sb.doc = doc_b
+WHERE round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 6) >= 0.4
 """
     return o

@@ -186,6 +186,61 @@ def _jaccard_from_parts(inter: DataFrame, sizes: DataFrame,
     )
 
 
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, threshold: float = 0.7,
+                      max_doc_freq: int = 50) -> DataFrame:
+    """Asymmetric near-dup detection by n-gram CONTAINMENT — the
+    overlap coefficient ``inter / min(|A|, |B|)``.  Jaccard misses the
+    quote/subset case (a short doc wholly embedded in a long one has
+    tiny Jaccard but containment 1.0); this is the operator that
+    catches wrapped reposts, quoted articles and boilerplate-framed
+    copies.
+
+    Same machinery as q11's capped Jaccard (the shared plan shape is
+    the point — one shingle window exchange, C(m,2) pairs from
+    bounded per-shingle doc arrays, NO self-join): ``max_doc_freq``
+    is mandatory because the group arrays are otherwise unbounded
+    (the q11 invariant); capped shingles leave both the intersections
+    and the set sizes.
+
+    Output: ``(doc_a, doc_b, inter, sz_a, sz_b, cont)`` with
+    ``cont`` rounded to 6dp before thresholding (oracle boundary
+    agreement).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    ).select("doc", md5_bigint(F.col("shingle")).alias("shingle"))
+    w = Window.partitionBy("shingle")
+    sh = (sh.withColumn("_df", F.count("*").over(w))
+          .where(F.col("_df") <= max_doc_freq).drop("_df"))
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    grouped = (sh.groupBy("shingle")
+               .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+               .where(F.size("docs") >= 2))
+    m = F.size("docs")
+    combos = F.flatten(F.transform(
+        F.sequence(F.lit(1), m - 1),
+        lambda i: F.transform(
+            F.slice(F.col("docs"), i + 1, m - i),
+            lambda d: F.struct(
+                F.element_at(F.col("docs"), i).alias("a"),
+                d.alias("b")))))
+    inter = (grouped.select(F.explode(combos).alias("p"))
+             .groupBy(F.col("p.a").alias("doc_a"),
+                      F.col("p.b").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("cont", F.round(
+            F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")), 6))
+        .where(F.col("cont") >= threshold)
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "cont"))
+
+
 # MinHash universal-hash family: ONE md5 per shingle (28-bit hex
 # prefix) + per-seed affine transforms (a_j * h + b_j) mod p. The
 # previous scheme hashed every shingle num_hashes times — at corpus

@@ -436,3 +436,37 @@ def cdf_normalize(df: DataFrame, group_col: str, score_col: str,
     return df.select(
         F.col(id_col), F.col(group_col), F.col(score_col),
         F.round(F.percent_rank().over(w), 9).alias("pct"))
+
+
+def key_skew_profile(df: DataFrame, key_expr, top_k: int = 20
+                     ) -> DataFrame:
+    """Join/aggregation-key skew diagnostic — the profiling query run
+    BEFORE shipping a shuffle-on-this-key plan to a 1000-executor
+    cluster: the top-``top_k`` heaviest keys with their share of the
+    corpus and their skew factor (key count ÷ mean key count; the
+    factor by which the hottest task outweighs the average one).
+
+    Output: ``(rank, key, c, frac, skew)`` — frac round(9), skew
+    round(6), both single IEEE divisions of exact bigints.
+
+    Scale: the per-key count is map-side-combined (hot keys collapse
+    to one row per partition before the exchange); the global (rows,
+    keys) relation is ONE row aggregated from the counts exchange —
+    Catalyst reuses that exchange for the top-k branch — and is
+    broadcast to the k survivors; the top-k cut itself is
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    """
+    from pyspark.sql import Window
+
+    counts = (df.select(key_expr.cast("string").alias("key"))
+              .groupBy("key").agg(F.count("*").alias("c")))
+    stats = counts.agg(F.sum("c").alias("_rows"),
+                       F.count("*").alias("_keys"))
+    top = counts.orderBy(F.col("c").desc(), "key").limit(top_k)
+    w = Window.orderBy(F.col("c").desc(), "key")
+    return (top.crossJoin(F.broadcast(stats))
+            .select(F.row_number().over(w).cast("bigint").alias("rank"),
+                    "key", "c",
+                    F.round(F.col("c") / F.col("_rows"), 9).alias("frac"),
+                    F.round(F.col("c") * F.col("_keys") / F.col("_rows"),
+                            6).alias("skew")))

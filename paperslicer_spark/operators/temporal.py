@@ -414,3 +414,55 @@ def session_durations(df: DataFrame, key_col: str, ts_col: str,
             .groupBy(key_col, "session_id")
             .agg((F.max("_us") - F.min("_us")).alias("dur_us"),
                  F.count("*").alias("n_events")))
+
+
+def rate_anomaly(df: DataFrame, key_col: str, ts_col: str,
+                 trailing_hours: int = 24,
+                 min_baseline: int = 12) -> DataFrame:
+    """Trailing z-score anomaly detection on per-key hourly event
+    rates — the ingest-monitoring alarm ("this source's crawl rate
+    just spiked 5 sigmas vs its trailing day") a pipeline watches
+    before bad data floods a mix.
+
+    Per (key, hour): the hourly count ``c`` and its z-score against
+    the trailing ``trailing_hours`` buckets (EXCLUDING the current
+    one — the baseline must not contain the point under test).
+    Buckets with fewer than ``min_baseline`` trailing points or zero
+    baseline variance get NULL z.
+
+    Determinism: the baseline enters as integer sums over a RANGE
+    frame on the integer epoch-hour — ``z = (n·c - s) /
+    sqrt(n·ss - s²)`` (the population-z identity cleared of
+    divisions), so both engines compute one IEEE sqrt + one IEEE
+    division over EXACT bigint inputs; round(6).  Never a
+    stddev/variance aggregate, whose summation order is
+    engine-internal.
+
+    Scale: one map-side-combined (key, hour) count — the corpus
+    collapses to key×hours rows before any window — then ONE
+    range-frame window on the same key exchange.  Hot keys cost one
+    frame walk over their OWN hour count (bounded by the time span,
+    not the event volume).
+    """
+    from pyspark.sql import Window
+
+    # integer floor-div via pmod (the pinned range_join trick): the
+    # numerator is an exact multiple, so the one double division is
+    # exact — never a truncated fractional quotient near a boundary
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    hour = ((us - F.pmod(us, F.lit(3_600_000_000)))
+            / F.lit(3_600_000_000)).cast("long")
+    hc = (df.select(F.col(key_col).alias("key"), hour.alias("hr"))
+          .groupBy("key", "hr").agg(F.count("*").alias("c")))
+    w = (Window.partitionBy("key").orderBy("hr")
+         .rangeBetween(-trailing_hours, -1))
+    n = F.count("*").over(w)
+    s = F.sum("c").over(w)
+    ss = F.sum(F.col("c") * F.col("c")).over(w)
+    var_num = n * ss - s * s
+    z = F.when(
+        (n >= min_baseline) & (var_num > 0),
+        F.round((n * F.col("c") - s)
+                / F.sqrt(var_num.cast("double")), 6))
+    return hc.select("key", "hr", "c", n.alias("n_base"),
+                     s.alias("s_base"), z.alias("z"))
