@@ -1497,6 +1497,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     threshold=0.4, max_doc_freq=50)
     q["x95_containment_pairs"] = x95_containment_pairs
 
+    def x96_image_dhash_pairs(spark, sf):
+        # perceptual image near-dup pairs: 64-bit dHash (integer
+        # block-sum comparisons) over the sf-scaled fake-codec corpus
+        # + planted perturbed copies, then the x32 Hamming band
+        # pigeonhole (equi-join, never all-pairs).  Oracle replays
+        # the frozen signature fixture and recomputes the banded pair
+        # join in SQL.
+        from paperslicer_spark.operators.dedup import hamming_pairs
+        from paperslicer_spark.operators.multimodal import (
+            image_dhash, perturb_assets, synth_assets)
+        n = _scaled_clips(spark, sf, 12, 480)
+        assets = synth_assets(spark, n, seed=42)
+        corpus = assets.unionByName(perturb_assets(assets, every=5))
+        sigs = image_dhash(corpus).select(
+            F.col("asset_id").alias("doc"),
+            F.col("dhash").alias("simhash"))
+        return hamming_pairs(sigs, max_hamming=3)
+    q["x96_image_dhash_pairs"] = x96_image_dhash_pairs
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -4098,5 +4117,36 @@ FROM inter
 JOIN sz sa ON sa.doc = doc_a
 JOIN sz sb ON sb.doc = doc_b
 WHERE round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 6) >= 0.4
+"""
+
+    # x96: frozen dHash signatures (per-asset, prefix-stable) → the
+    # SAME unsigned 16-bit band arithmetic as x32, pair verification
+    # recomputed in SQL; 12/480 scaling rule mirrored from the query.
+    x96_bands = "\nUNION ALL\n".join(
+        f"SELECT doc, simhash, {b} AS band, "
+        f"CAST((u // CAST('{1 << (16 * b)}' AS HUGEINT)) % 65536 AS BIGINT)"
+        " AS bkey FROM uns"
+        for b in range(4))
+    o["x96_image_dhash_pairs"] = f"""
+WITH nn AS (SELECT least(greatest(8,
+    (SELECT count(*) FROM documents) // 12), 480) AS n),
+ sig AS (
+  SELECT asset_id AS doc, dhash AS simhash
+  FROM '{_FIX}/image_dhash.parquet', nn
+  WHERE asset_id < nn.n
+     OR (asset_id >= 100000 AND asset_id - 100000 < nn.n
+         AND (asset_id - 100000) % 5 = 0)),
+ uns AS (
+  SELECT doc, simhash,
+    CAST(simhash AS HUGEINT) + CASE WHEN simhash < 0
+      THEN CAST('18446744073709551616' AS HUGEINT)
+      ELSE CAST(0 AS HUGEINT) END AS u
+  FROM sig),
+ banded AS ({x96_bands})
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+  bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
     return o

@@ -32,7 +32,7 @@ FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 
 TABLES = ["rec_meta", "rec_sections", "rec_media", "rec_refs", "truth",
           "rec_spans", "turns", "asset_features", "asset_stats",
-          "frame_stats", "audio_stats"]
+          "frame_stats", "audio_stats", "image_dhash"]
 
 
 def flatten_records(rows) -> dict[str, pd.DataFrame]:
@@ -155,6 +155,22 @@ def build_all(spark) -> dict[str, pd.DataFrame]:
         pdf = qs[name](spark, "").toPandas()
         frames[key] = pdf.sort_values(list(pdf.columns)).reset_index(
             drop=True)
+    # dHash SIGNATURES at the x96 cap (480 originals + every-5th
+    # perturbed copy at id+100000) — the oracle recomputes the banded
+    # pair join in SQL from these, so only the perceptual hash itself
+    # is replayed, not the dedup.  Per-asset hashes depend ONLY on
+    # asset_id (prefix-stability invariant), so this one fixture
+    # serves every sf via the oracle's `asset_id < n` filter; the
+    # 12/480 divisor/cap rule lives in x96's _scaled_clips call and
+    # the oracle's scalar subquery — change them together.
+    from paperslicer_spark.operators.multimodal import (image_dhash,
+                                                        perturb_assets,
+                                                        synth_assets)
+    assets = synth_assets(spark, 480, seed=42)
+    corpus = assets.unionByName(perturb_assets(assets, every=5))
+    pdf = image_dhash(corpus).toPandas()
+    frames["image_dhash"] = pdf.sort_values(
+        list(pdf.columns)).reset_index(drop=True)
     return frames
 
 

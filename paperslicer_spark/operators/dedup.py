@@ -343,6 +343,16 @@ def simhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     dedup). The oracle applies the same filter.
     """
     sig = simhash(df, id_col, text_col).where(F.col("simhash") != 0)
+    return hamming_pairs(sig, max_hamming=max_hamming)
+
+
+def hamming_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """``(doc, simhash)`` signatures → near-dup pairs via the 16-bit
+    band pigeonhole + exact ``bit_count(xor)`` verification — the
+    banding half of :func:`simhash_lsh_pairs`, reusable for ANY
+    64-bit locality-preserving signature (text SimHash, image dHash).
+    Same recall contract: guaranteed for ``max_hamming <= 3``.
+    """
     banded = _simhash_bands(sig)
     a, b2 = banded.alias("a"), banded.alias("b")
     return (

@@ -734,3 +734,111 @@ def audio_features(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(cols)
 
     return assets.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def perturb_assets(assets: DataFrame, every: int = 5,
+                   id_offset: int = 100_000,
+                   n_flips: int = 3) -> DataFrame:
+    """Deterministic near-copies of every ``every``-th asset — the
+    planted ground truth for image near-dup evaluation: decode, bump
+    ``n_flips`` seeded pixels by +8 intensity, re-encode, shift the
+    id by ``id_offset``.  Per-copy content depends ONLY on the source
+    asset_id (the x30/x31 prefix-stability invariant), so a frozen
+    cap-sized fixture serves every scale factor.  Map-only.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import random
+
+        import numpy as np
+
+        for pdf in batches:
+            cols = {k: [] for k in ["asset_id", "conv_id", "kind",
+                                    "payload", "meta"]}
+            for aid, cid, kind, payload, meta in zip(
+                pdf["asset_id"], pdf["conv_id"], pdf["kind"],
+                pdf["payload"], pdf["meta"],
+            ):
+                if int(aid) % every != 0:
+                    continue
+                dec = decode_image(bytes(payload))
+                if dec is None:
+                    continue
+                w, h, fmt, px = dec
+                a = np.array(px, dtype=np.int64).reshape(h, w)
+                rng = random.Random(0x5EED ^ int(aid))
+                for _ in range(n_flips):
+                    r, c = rng.randrange(h), rng.randrange(w)
+                    a[r, c] = min(255, int(a[r, c]) + 8)
+                cols["asset_id"].append(int(aid) + id_offset)
+                cols["conv_id"].append(cid)
+                cols["kind"].append(kind)
+                cols["payload"].append(
+                    encode_pixels(a.astype(np.uint8),
+                                  fmt if fmt in _FMTS else "png"))
+                cols["meta"].append(dict(meta))
+            if cols["asset_id"]:  # an empty frame's meta column would
+                yield pd.DataFrame(cols)  # infer float64, not struct
+
+    return assets.mapInPandas(run, schema=ASSET_SCHEMA)
+
+
+DHASH_SCHEMA = "asset_id bigint, width int, height int, dhash bigint"
+
+
+def image_dhash(assets: DataFrame, grid: int = 8) -> DataFrame:
+    """64-bit difference hash (dHash) per image — the standard
+    perceptual near-dup signature for image corpora (identical
+    re-encodes, minor edits and small noise land within a few bits;
+    unrelated images differ in ~32).  Grid ``8`` → 8 rows × 9 block
+    columns, bit (r, c) = [block(r, c) brighter than block(r, c+1)].
+
+    Determinism: blocks are integer pixel SUMS over floor-divided
+    grid edges, and the brightness comparison cross-multiplies by
+    block areas (``s₁·n₂ > s₂·n₁``) — all-integer, no float means.
+    The signed-int64 wrap of the 64-bit hash matches the JVM/DuckDB
+    convention of the SimHash pipeline, so :func:`dedup.hamming_pairs`
+    and x32's band SQL consume it unchanged.
+
+    Map-only (one Arrow boundary); the pair stage downstream is the
+    banded equi-join, never all-pairs.  Images narrower than grid+1
+    or shorter than grid are skipped (no stable hash exists).
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            cols = {k: [] for k in ["asset_id", "width", "height",
+                                    "dhash"]}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                dec = decode_image(bytes(payload))
+                if dec is None:
+                    continue
+                w, h, _, px = dec
+                if w < grid + 1 or h < grid:
+                    continue
+                a = np.array(px, dtype=np.int64).reshape(h, w)
+                re = [r * h // grid for r in range(grid + 1)]
+                ce = [c * w // (grid + 1) for c in range(grid + 2)]
+                hv = 0
+                for r in range(grid):
+                    rows = a[re[r]:re[r + 1]]
+                    for c in range(grid):
+                        s1 = int(rows[:, ce[c]:ce[c + 1]].sum())
+                        s2 = int(rows[:, ce[c + 1]:ce[c + 2]].sum())
+                        n1 = (re[r + 1] - re[r]) * (ce[c + 1] - ce[c])
+                        n2 = (re[r + 1] - re[r]) * (ce[c + 2] - ce[c + 1])
+                        if s1 * n2 > s2 * n1:
+                            hv |= 1 << (r * grid + c)
+                if hv >= 1 << 63:  # signed-int64 wrap (JVM convention)
+                    hv -= 1 << 64
+                cols["asset_id"].append(int(aid))
+                cols["width"].append(int(w))
+                cols["height"].append(int(h))
+                cols["dhash"].append(hv)
+            yield pd.DataFrame(cols)
+
+    return assets.mapInPandas(run, schema=DHASH_SCHEMA)

@@ -385,3 +385,77 @@ def test_audio_features_deterministic(spark):
     assert row["rms"] == round((int(np.sum(s64 * s64)) / n2) ** 0.5 / 32768.0, 6)
     assert row["zcr"] == round(
         int(np.count_nonzero(np.diff(np.signbit(s64)))) / (n2 - 1), 6)
+
+
+def _ref_dhash(px, w, h, grid=8):
+    """Independent brute-force dHash (plain Python loops)."""
+    a = [[int(px[r * w + c]) for c in range(w)] for r in range(h)]
+    re_ = [r * h // grid for r in range(grid + 1)]
+    ce = [c * w // (grid + 1) for c in range(grid + 2)]
+    hv = 0
+    for r in range(grid):
+        for c in range(grid):
+            s1 = sum(a[i][j] for i in range(re_[r], re_[r + 1])
+                     for j in range(ce[c], ce[c + 1]))
+            s2 = sum(a[i][j] for i in range(re_[r], re_[r + 1])
+                     for j in range(ce[c + 1], ce[c + 2]))
+            n1 = (re_[r + 1] - re_[r]) * (ce[c + 1] - ce[c])
+            n2 = (re_[r + 1] - re_[r]) * (ce[c + 2] - ce[c + 1])
+            if s1 * n2 > s2 * n1:
+                hv |= 1 << (r * grid + c)
+    return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+
+def test_image_dhash_vs_python(spark):
+    from paperslicer_spark.operators.multimodal import (decode_image,
+                                                        image_dhash,
+                                                        synth_assets)
+
+    assets = synth_assets(spark, 12, seed=42)
+    got = {r["asset_id"]: r["dhash"]
+           for r in image_dhash(assets).collect()}
+    for row in assets.collect():
+        w, h, _, px = decode_image(bytes(row["payload"]))
+        assert got[row["asset_id"]] == _ref_dhash(px, w, h)
+
+
+def test_image_dhash_pairs_find_planted_copies(spark):
+    from paperslicer_spark.operators.dedup import hamming_pairs
+    from paperslicer_spark.operators.multimodal import (image_dhash,
+                                                        perturb_assets,
+                                                        synth_assets)
+    from pyspark.sql import functions as F
+
+    assets = synth_assets(spark, 40, seed=42)
+    corpus = assets.unionByName(perturb_assets(assets, every=5))
+    sigs = image_dhash(corpus).select(
+        F.col("asset_id").alias("doc"), F.col("dhash").alias("simhash"))
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in hamming_pairs(sigs, max_hamming=3).collect()}
+    # every planted (original, +8-perturbed copy) pair is recovered...
+    for i in range(0, 40, 5):
+        assert (i, i + 100_000) in pairs
+        assert pairs[(i, i + 100_000)] <= 3
+    # ...and nothing else collides (unrelated random images sit at
+    # hamming ~32)
+    assert all(b - a == 100_000 for a, b in pairs)
+
+
+def test_perturb_assets_deterministic_and_near(spark):
+    from paperslicer_spark.operators.multimodal import (decode_image,
+                                                        perturb_assets,
+                                                        synth_assets)
+
+    assets = synth_assets(spark, 10, seed=42)
+    c1 = {r["asset_id"]: bytes(r["payload"])
+          for r in perturb_assets(assets, every=5).collect()}
+    c2 = {r["asset_id"]: bytes(r["payload"])
+          for r in perturb_assets(assets, every=5).collect()}
+    assert c1 == c2 and set(c1) == {100_000, 100_005}
+    orig = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
+    for aid, payload in c1.items():
+        w, h, _, px = decode_image(payload)
+        ow, oh, _, opx = decode_image(orig[aid - 100_000])
+        assert (w, h) == (ow, oh)
+        diff = sum(1 for a, b in zip(px, opx) if a != b)
+        assert 1 <= diff <= 3  # n_flips=3, collisions possible
