@@ -1516,6 +1516,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hamming_pairs(sigs, max_hamming=3)
     q["x96_image_dhash_pairs"] = x96_image_dhash_pairs
 
+    def x97_basket_pairs(spark, sf):
+        # market-basket event-type co-occurrence with integer-exact
+        # lift: baskets = distinct per-user type sets (small, closed
+        # item domain), C(m,2) HOF fan-out on the basket exchange
+        from paperslicer_spark.operators.metrics import basket_pairs
+        ev = _t(spark, sf, "events")
+        return basket_pairs(ev, "user_id", "event_type")
+    q["x97_basket_pairs"] = x97_basket_pairs
+
+    def x98_path_prefix_rollup(spark, sf):
+        # crawl-frontier budget table: page counts per (host, 2-seg
+        # canonical path prefix) over deterministically synthesized
+        # deep URLs (root pages roll to '/'); Spark runs the full
+        # canonicalize/split machinery, the oracle derives host and
+        # prefix from first principles
+        from paperslicer_spark.operators.web import path_prefix_rollup
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id")
+        url = F.when(d % 13 == 0, F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".Example.com/")
+        )).otherwise(F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".Example.com/sec"),
+            (d % 5).cast("string"), F.lit("/item"),
+            (d % 11).cast("string"), F.lit("/page"),
+            (d % 3).cast("string")))
+        return path_prefix_rollup(docs.select(url.alias("url")), "url",
+                                  depth=2)
+    q["x98_path_prefix_rollup"] = x98_path_prefix_rollup
+
+    def x99_purchase_attribution(spark, sf):
+        # last-touch conversion attribution: every purchase claims its
+        # latest at-or-before view/click via the proven asof carry
+        # (x43 machinery; right payload (event_type, event_id) is the
+        # deterministic tie rule), rolled up per touch type with
+        # integer-µs delay sums; unattributed purchases → 'none'
+        from paperslicer_spark.operators.temporal import asof_join
+        ev = _t(spark, sf, "events")
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id")
+        touches = ev.where(F.col("event_type").isin("view", "click")) \
+            .select("user_id", "ts", "event_type", "event_id")
+        att = asof_join(purchases, touches, on="user_id", ts_col="ts",
+                        right_cols=["event_type", "event_id"])
+        delay = (F.unix_micros(F.col("ts").cast("timestamp"))
+                 - F.unix_micros(F.col("ts_right").cast("timestamp")))
+        return (att.select(
+                    F.coalesce(F.col("event_type_right"),
+                               F.lit("none")).alias("touch"),
+                    delay.alias("delay_us"))
+                .groupBy("touch")
+                .agg(F.count("*").alias("n_purchases"),
+                     F.sum("delay_us").alias("sum_delay_us"),
+                     F.max("delay_us").alias("max_delay_us")))
+    q["x99_purchase_attribution"] = x99_purchase_attribution
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -4148,5 +4203,64 @@ SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
 FROM banded a
 JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+    # x97: identical distinct-basket derivation; the pair fan-out is
+    # an equi-self-join here (the HOF combos are a plan choice, not a
+    # semantic one); lift = one IEEE division of exact bigints.
+    o["x97_basket_pairs"] = """
+WITH b AS (SELECT DISTINCT user_id AS k, event_type AS item
+           FROM events),
+ nb AS (SELECT count(DISTINCT k) AS n_baskets FROM b),
+ ic AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+ p AS (
+  SELECT a.item AS item_a, b2.item AS item_b, count(*) AS n_ab
+  FROM b a JOIN b b2 ON a.k = b2.k AND a.item < b2.item
+  GROUP BY 1, 2)
+SELECT item_a, item_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+  nb.n_baskets,
+  round(n_ab * nb.n_baskets / (ia.n_item * ib.n_item), 6) AS lift
+FROM p
+JOIN ic ia ON ia.item = item_a
+JOIN ic ib ON ib.item = item_b, nb
+"""
+
+    # x98: the oracle NEVER parses a URL — host and prefix are
+    # re-derived from first principles out of the same doc_id rule,
+    # so the whole canonicalize/split/rollup chain is under test.
+    o["x98_path_prefix_rollup"] = """
+SELECT lower(source) || '.example.com' AS host,
+  CASE WHEN doc_id % 13 = 0 THEN '/'
+       ELSE '/sec' || CAST(doc_id % 5 AS VARCHAR)
+            || '/item' || CAST(doc_id % 11 AS VARCHAR) END AS prefix,
+  count(*) AS n_pages
+FROM documents GROUP BY 1, 2
+"""
+
+    # x99: asof tie rule replayed as argmax over struct(ts,
+    # event_type, event_id) — row_number under the matching DESC
+    # order; integer-µs delays.
+    o["x99_purchase_attribution"] = """
+WITH p AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase'),
+ t AS (SELECT user_id, ts, event_type, event_id FROM events
+       WHERE event_type IN ('view', 'click')),
+ j AS (
+  SELECT p.user_id, p.event_id AS pid, p.ts AS pts,
+         t.event_type AS touch, t.ts AS tts,
+         row_number() OVER (
+           PARTITION BY p.user_id, p.event_id
+           ORDER BY t.ts DESC, t.event_type DESC, t.event_id DESC)
+           AS rn
+  FROM p JOIN t ON p.user_id = t.user_id AND t.ts <= p.ts),
+ att AS (
+  SELECT p.user_id, p.event_id, p.ts AS pts, j.touch, j.tts
+  FROM p LEFT JOIN j ON j.pid = p.event_id AND j.user_id = p.user_id
+                     AND j.rn = 1)
+SELECT coalesce(touch, 'none') AS touch,
+  count(*) AS n_purchases,
+  CAST(sum(epoch_us(pts) - epoch_us(tts)) AS BIGINT) AS sum_delay_us,
+  CAST(max(epoch_us(pts) - epoch_us(tts)) AS BIGINT) AS max_delay_us
+FROM att GROUP BY 1
 """
     return o

@@ -481,3 +481,63 @@ def key_skew_profile(df: DataFrame, key_expr, top_k: int = 20
                     F.round(F.col("c") / F.col("_rows"), 9).alias("frac"),
                     F.round(F.col("c") * F.col("_keys") / F.col("_rows"),
                             6).alias("skew")))
+
+
+def basket_pairs(df: DataFrame, key_col: str, item_col: str,
+                 min_support: int = 1) -> DataFrame:
+    """Market-basket item co-occurrence with support and lift — the
+    association-mining rollup behind "users who did X also did Y"
+    and feature-co-occurrence audits.  A basket is the DISTINCT item
+    set per key (session, user, document).
+
+    ``lift = P(ab) / (P(a)·P(b)) = n_ab·n_baskets / (n_a·n_b)`` —
+    numerator and denominator stay exact bigints; the one division
+    is a single IEEE op, round(6).  Pairs are unordered, emitted with
+    ``item_a < item_b``.
+
+    Contract: the ITEM DOMAIN must be small (event types, categories
+    — not open vocabularies): per-basket item sets are collected into
+    a sorted array and pairs fan out as C(m,2), so a basket's cost is
+    quadratic in its DISTINCT item count (bounded by the domain).
+    For open domains use cooccurrence_counts' positional windows.
+
+    Scale: one distinct (dedup shuffle on (key, item)), the basket
+    collect + pair fan-out reuse that exchange's key partitioning;
+    item counts and the 1-row basket count are map-side-combined
+    aggregates of basket-sized relations; final lift join broadcasts
+    the item-domain-sized counts.
+    """
+    baskets = df.select(F.col(key_col).alias("k"),
+                        F.col(item_col).alias("item")).distinct()
+    n_baskets = baskets.groupBy("k").agg(F.lit(1).alias("_one")) \
+        .agg(F.count("*").alias("n_baskets"))
+    item_counts = baskets.groupBy("item").agg(
+        F.count("*").alias("n_item"))
+    sets = baskets.groupBy("k").agg(
+        F.sort_array(F.collect_set("item")).alias("items"))
+    m = F.size("items")
+    combos = F.flatten(F.transform(
+        F.sequence(F.lit(1), m - 1),
+        lambda i: F.transform(
+            F.slice(F.col("items"), i + 1, m - i),
+            lambda b: F.struct(
+                F.element_at(F.col("items"), i).alias("a"),
+                b.alias("b")))))
+    pairs = (sets.where(m >= 2)
+             .select(F.explode(combos).alias("p"))
+             .groupBy(F.col("p.a").alias("item_a"),
+                      F.col("p.b").alias("item_b"))
+             .agg(F.count("*").alias("n_ab"))
+             .where(F.col("n_ab") >= min_support))
+    ia = item_counts.select(F.col("item").alias("item_a"),
+                            F.col("n_item").alias("n_a"))
+    ib = item_counts.select(F.col("item").alias("item_b"),
+                            F.col("n_item").alias("n_b"))
+    return (pairs.join(F.broadcast(ia), "item_a")
+            .join(F.broadcast(ib), "item_b")
+            .crossJoin(F.broadcast(n_baskets))
+            .select("item_a", "item_b", "n_ab", "n_a", "n_b",
+                    "n_baskets",
+                    F.round(F.col("n_ab") * F.col("n_baskets")
+                            / (F.col("n_a") * F.col("n_b")), 6)
+                    .alias("lift")))

@@ -109,3 +109,30 @@ def url_dup_groups(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
         F.col(id_col), "host", "url_canon",
         F.count("*").over(Window.partitionBy("url_canon"))
         .alias("n_dups"))
+
+
+def path_prefix_rollup(df: DataFrame, url_col: str,
+                       depth: int = 2) -> DataFrame:
+    """Crawl-frontier budget rollup: page counts per (host, first
+    ``depth`` path segments) — the table a crawl scheduler reads to
+    budget politeness quotas and spot infinite calendar/faceted
+    traps (one prefix ballooning to millions of URLs).
+
+    Built on :func:`canonicalize_urls`' host/path so tracking params
+    and case noise are already gone.  ``prefix`` is ``/seg1/seg2``
+    truncated to however many segments exist (root pages roll up to
+    ``/``).
+
+    Scale: pure codegen string ops on the base scan + ONE map-side-
+    combined groupBy over the prefix-domain-sized key space.
+    """
+    c = canonicalize_urls(df, url_col)
+    segs = F.split(F.regexp_replace(F.col("path_canon"), "^/", ""), "/")
+    prefix = F.concat(F.lit("/"), F.array_join(
+        F.slice(segs, 1, depth), "/"))
+    return (c.where(F.col("host").isNotNull())
+            .select("host",
+                    F.when(F.col("path_canon") == "/", F.lit("/"))
+                     .otherwise(prefix).alias("prefix"))
+            .groupBy("host", "prefix")
+            .agg(F.count("*").alias("n_pages")))

@@ -198,6 +198,46 @@ def worker(cores: int) -> None:
         sec = best_of(lambda: force(
             bigram_logprob(docs, "doc_id", "text")))
         record("bigram", sec, n_docs)
+    if "cooc" in JOBS:
+        # round-5 op: GloVe-style windowed co-occurrence (x88) —
+        # zero-shuffle pair fan-out + one map-side-combined groupBy
+        from paperslicer_spark.operators.curation import (
+            cooccurrence_counts)
+
+        sec = best_of(lambda: force(
+            cooccurrence_counts(docs, "text", top_k=200)))
+        record("cooc", sec, n_docs)
+    if "contain" in JOBS:
+        # round-5 op: n-gram containment pairs (x95) — q11's capped
+        # no-self-join shape with the overlap-coefficient score
+        sec = best_of(lambda: force(
+            DD.containment_pairs(docs, "doc_id", "text", n=3,
+                                 threshold=0.4, max_doc_freq=200)))
+        record("contain", sec, n_docs)
+    if "dhash" in JOBS:
+        # round-5 op: perceptual image dHash pairs (x96) — two
+        # map-only Arrow codec stages + the 16-bit band equi-join;
+        # asset generation is checkpointed OUT of the timing
+        from pyspark.sql import functions as F
+
+        from paperslicer_spark.operators.dedup import hamming_pairs
+        from paperslicer_spark.operators.multimodal import (
+            image_dhash, perturb_assets, synth_assets)
+
+        n_assets = int(os.environ.get("DHASH_ASSETS", "20000"))
+        assets = synth_assets(spark, n_assets, seed=42) \
+            .localCheckpoint(eager=True)
+
+        def _dhash_run():
+            corpus_a = assets.unionByName(perturb_assets(assets,
+                                                         every=5))
+            sigs = image_dhash(corpus_a).select(
+                F.col("asset_id").alias("doc"),
+                F.col("dhash").alias("simhash"))
+            force(hamming_pairs(sigs))
+
+        sec = best_of(_dhash_run)
+        record("dhash", sec, n_assets)
     if "lsh_pairs" in JOBS:
         sec = best_of(lambda: force(
             DD.minhash_lsh_pairs(docs, "doc_id", "text")))
@@ -233,7 +273,8 @@ def orchestrate() -> None:
     summary = {"cores": CORES, "ratio": ratio}
     for job in [j for j in ("quality", "lsh_pairs", "cluster", "c4", "repstats",
                             "pdedup", "decon", "substr", "bm25",
-                            "bigram") if j in JOBS]:
+                            "bigram", "cooc", "contain", "dhash")
+                if j in JOBS]:
         t_lo = results[lo][f"{job}_sec"]
         t_hi = results[hi][f"{job}_sec"]
         summary[f"{job}_efficiency"] = round((t_lo / t_hi) / ratio, 3)

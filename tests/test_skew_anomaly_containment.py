@@ -114,3 +114,32 @@ def test_containment_cap_drops_stop_shingles(spark):
     # every doc's shingles from `common` appear in 6 docs -> capped;
     # the remaining per-doc shingles are unique -> no intersections
     assert got == []
+
+
+def test_basket_pairs_vs_python(spark):
+    from itertools import combinations
+
+    from paperslicer_spark.operators.metrics import basket_pairs
+
+    rng = random.Random(31)
+    items = ["view", "click", "buy", "share"]
+    rows = [(u, rng.choice(items)) for u in range(40) for _ in range(5)]
+    df = spark.createDataFrame(rows, ["u", "item"])
+    got = {(r["item_a"], r["item_b"]):
+           (r["n_ab"], r["n_a"], r["n_b"], r["n_baskets"], r["lift"])
+           for r in basket_pairs(df, "u", "item").collect()}
+
+    baskets = {}
+    for u, it in rows:
+        baskets.setdefault(u, set()).add(it)
+    nb = len(baskets)
+    ic = Counter(it for s in baskets.values() for it in s)
+    ref = {}
+    pc = Counter()
+    for s in baskets.values():
+        for a, b in combinations(sorted(s), 2):
+            pc[(a, b)] += 1
+    for (a, b), n_ab in pc.items():
+        ref[(a, b)] = (n_ab, ic[a], ic[b], nb,
+                       round(n_ab * nb / (ic[a] * ic[b]), 6))
+    assert got == ref

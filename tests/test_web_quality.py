@@ -129,3 +129,24 @@ def test_ranked_auc_null_handling_and_extremes(spark):
     [r] = ranked_auc(df, "src", "score", "lab").collect()
     # NULL rows dropped -> perfect separation on the 4 survivors
     assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 2, 1.0)
+
+
+def test_path_prefix_rollup(spark):
+    from paperslicer_spark.operators.web import path_prefix_rollup
+
+    urls = [
+        "http://A.Example.com/Sec1/Item2/Page3?utm_source=x",
+        "https://WWW.a.example.com:443/Sec1/Item2/Other9",
+        "http://a.example.com/Sec1/OTHER/x",
+        "http://b.example.com/",
+        "http://b.example.com",
+        "not a url",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {(r["host"], r["prefix"]): r["n_pages"]
+           for r in path_prefix_rollup(df, "url", depth=2).collect()}
+    assert got == {
+        ("a.example.com", "/Sec1/Item2"): 2,
+        ("a.example.com", "/Sec1/OTHER"): 1,
+        ("b.example.com", "/"): 2,
+    }
