@@ -1571,6 +1571,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.max("delay_us").alias("max_delay_us")))
     q["x99_purchase_attribution"] = x99_purchase_attribution
 
+    def x100_packing_stats(spark, sf):
+        # batch-prep efficiency report over the x33→x35 packing
+        # chain: per-shard pack counts, tail fill and the straddle
+        # (document-split-across-sequences) count — one
+        # map-side-combined rollup on the existing shard exchange
+        from paperslicer_spark.operators.curation import (
+            chunk_documents, pack_sequences, packing_stats)
+        chunks = chunk_documents(_t(spark, sf, "documents"),
+                                 "doc_id", "text",
+                                 chunk_tokens=32, overlap=8)
+        packs = pack_sequences(chunks, capacity=512, n_shards=16)
+        return packing_stats(packs, capacity=512)
+    q["x100_packing_stats"] = x100_packing_stats
+
+    def x101_rank_fusion(spark, sf):
+        # reciprocal-rank fusion of three incommensurable quality
+        # signals (length, a seeded classifier stand-in, a prior)
+        # into one keep-ordering; deterministic (score desc, id)
+        # ranks, fixed-order 1/(k+r) sum, round(9)
+        from paperslicer_spark.operators.metrics import rank_fusion
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id")
+        cands = docs.select(
+            "doc_id", F.col("n_chars").alias("s_len"),
+            ((d * 2654435761) % 1000).alias("s_cls"),
+            (d % 97).alias("s_pr"))
+        return rank_fusion(cands, "doc_id", ["s_len", "s_cls", "s_pr"])
+    q["x101_rank_fusion"] = x101_rank_fusion
+
     # The driver's correctness sweep caps at 50 queries and walks the
     # dict in insertion order, so entries past #50 never get a driver-
     # recorded green row.  Rotation policy (round-4 VERDICT item #3):
@@ -4262,5 +4291,58 @@ SELECT coalesce(touch, 'none') AS touch,
   CAST(sum(epoch_us(pts) - epoch_us(tts)) AS BIGINT) AS sum_delay_us,
   CAST(max(epoch_us(pts) - epoch_us(tts)) AS BIGINT) AS max_delay_us
 FROM att GROUP BY 1
+"""
+
+    # x100: x35's packing CTEs with n_tokens carried through,
+    # rolled up per shard; all-integer arithmetic.
+    o["x100_packing_stats"] = """
+WITH toks AS (
+  SELECT doc_id,
+    (string_split_regex(trim(lower(text)), '\\s+'))[1:2400000] AS t
+  FROM documents WHERE trim(text) <> ''),
+ chunks AS (
+  SELECT doc_id, CAST(s / 24 AS BIGINT) AS chunk_idx,
+    CAST(least(32, len(t) - s) AS BIGINT) AS n_tokens
+  FROM toks, UNNEST(range(0, len(t), 24)) AS u(s)),
+ sharded AS (
+  SELECT *, CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+    1, 15) AS BIGINT) % 16 AS shard
+  FROM chunks),
+ offs AS (
+  SELECT shard, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY shard
+      ORDER BY doc_id, chunk_idx) - n_tokens AS BIGINT) AS st
+  FROM sharded),
+ packs AS (
+  SELECT shard, n_tokens,
+    CAST(floor(st / 512) AS BIGINT) AS pack_seq,
+    st % 512 AS pack_offset
+  FROM offs)
+SELECT shard, count(*) AS n_chunks,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(max(pack_seq) + 1 AS BIGINT) AS n_packs,
+  CAST(sum(n_tokens) - max(pack_seq) * 512 AS BIGINT) AS tail_fill,
+  CAST(sum(CASE WHEN pack_offset + n_tokens > 512 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_straddles
+FROM packs GROUP BY 1
+"""
+
+    # x101: identical (score desc, id) rank windows; the fused sum
+    # is fixed left-to-right so both engines round the same double.
+    o["x101_rank_fusion"] = """
+WITH c AS (
+  SELECT doc_id, n_chars AS s_len,
+    (doc_id * 2654435761) % 1000 AS s_cls, doc_id % 97 AS s_pr
+  FROM documents),
+ r AS (
+  SELECT doc_id, s_len, s_cls, s_pr,
+    row_number() OVER (ORDER BY s_len DESC, doc_id) AS r1,
+    row_number() OVER (ORDER BY s_cls DESC, doc_id) AS r2,
+    row_number() OVER (ORDER BY s_pr DESC, doc_id) AS r3
+  FROM c)
+SELECT doc_id, s_len, s_cls, s_pr,
+  round(1.0 / (60 + r1) + 1.0 / (60 + r2) + 1.0 / (60 + r3), 9)
+    AS rrf
+FROM r
 """
     return o

@@ -1194,3 +1194,35 @@ def ngram_diversity(df: DataFrame, source_col: str, text_col: str,
             .select("source", "n_grams", "n_distinct",
                     F.round(F.col("n_distinct") / F.col("n_grams"), 6)
                     .alias("distinct_ratio")))
+
+
+def packing_stats(packs: DataFrame, token_col: str = "n_tokens",
+                  capacity: int = 512) -> DataFrame:
+    """Batch-prep efficiency report over :func:`pack_sequences`
+    output — the numbers a training run reviews before committing a
+    packing layout: concat-then-chop wastes ONLY each shard's last
+    pack tail, but every chunk straddling a pack boundary is a
+    document split across training sequences (attention-mask
+    breakage), and that count is the real cost knob vs padded
+    one-doc-per-sequence layouts.
+
+    Per shard: ``(shard, n_chunks, n_tokens, n_packs, tail_fill,
+    n_straddles)`` — all exact bigints (tail_fill = tokens in the
+    final partial pack; n_straddles = chunks with
+    ``pack_offset + tokens > capacity``).
+
+    Scale: ONE map-side-combined groupBy over the packs relation
+    (shards-sized output); composes onto pack_sequences' existing
+    shard exchange without adding a corpus pass.
+    """
+    straddle = (F.col("pack_offset") + F.col(token_col)
+                > F.lit(capacity)).cast("bigint")
+    return (packs.groupBy("shard").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(token_col).cast("bigint").alias("n_tokens"),
+        (F.max("pack_seq") + 1).alias("n_packs"),
+        F.sum(straddle).alias("n_straddles"))
+        .select("shard", "n_chunks", "n_tokens", "n_packs",
+                (F.col("n_tokens")
+                 - (F.col("n_packs") - 1) * capacity).alias("tail_fill"),
+                "n_straddles"))

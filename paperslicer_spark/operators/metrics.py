@@ -541,3 +541,42 @@ def basket_pairs(df: DataFrame, key_col: str, item_col: str,
                     F.round(F.col("n_ab") * F.col("n_baskets")
                             / (F.col("n_a") * F.col("n_b")), 6)
                     .alias("lift")))
+
+
+def rank_fusion(df: DataFrame, id_col: str, score_cols: list[str],
+                k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, Cormack et al.) of several
+    quality signals into one keep-ordering — the standard way to
+    blend incommensurable scores (rule-based quality, classifier
+    probability, PageRank prior) without learning weights:
+    ``rrf = Σ_s 1 / (k + rank_s)`` over each signal's descending
+    rank.
+
+    Ranks are ``row_number`` over (score desc, id) — the id tiebreak
+    makes every rank, and therefore the fused score, deterministic.
+    Each 1/(k+rank) term is one IEEE division of exact integers and
+    the sum has a fixed left-to-right order (signal order), so both
+    engines agree bit-for-bit; round(9).
+
+    Scale: one GLOBAL sort per signal — rank windows without a
+    partition key. Spark plans a single-partition window after a
+    range repartition; for corpus-sized inputs feed PRE-AGGREGATED
+    candidates (top-N per signal via TakeOrdered), which is how RRF
+    is used in practice (fusing ranked lists, not whole corpora).
+    The output is candidates-sized.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    out = df
+    terms = []
+    for s in score_cols:
+        w = Window.orderBy(F.col(s).desc(), F.col(id_col))
+        rank_col = f"_r_{s}"
+        out = out.withColumn(rank_col, F.row_number().over(w))
+        terms.append(F.lit(1.0) / (F.lit(k) + F.col(rank_col)))
+    fused = reduce(lambda a, b: a + b, terms)
+    return (out.select(F.col(id_col), *score_cols,
+                       F.round(fused, 9).alias("rrf"))
+            .orderBy(F.col("rrf").desc(), F.col(id_col)))

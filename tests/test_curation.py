@@ -803,3 +803,39 @@ def test_dsir_upweights_target_like_docs(spark):
     assert out[0] > out[200] > out[100]
     # length-normalized: identical docs share one score
     assert out[0] == out[5] and out[100] == out[105]
+
+
+def test_packing_stats_vs_python(spark):
+    from paperslicer_spark.operators.curation import (pack_sequences,
+                                                      packing_stats)
+    from pyspark.sql import functions as F
+
+    rows = [(d, i, 1 + (d * 7 + i * 3) % 40)
+            for d in range(25) for i in range(4)]
+    chunks = spark.createDataFrame(rows,
+                                   ["doc_id", "chunk_idx", "n_tokens"])
+    packs = pack_sequences(chunks, capacity=64, n_shards=4)
+    got = {r["shard"]: r for r in
+           packing_stats(packs, capacity=64).collect()}
+
+    pk = packs.collect()
+    shards = {}
+    for r in pk:
+        shards.setdefault(r["shard"], []).append(r)
+    assert set(got) == set(shards)
+    for sh, rs in shards.items():
+        n_tok = sum(r["n_tokens"] for r in rs)
+        n_packs = max(r["pack_seq"] for r in rs) + 1
+        strad = sum(1 for r in rs
+                    if r["pack_offset"] + r["n_tokens"] > 64)
+        g = got[sh]
+        assert g["n_chunks"] == len(rs)
+        assert g["n_tokens"] == n_tok
+        assert g["n_packs"] == n_packs
+        assert g["tail_fill"] == n_tok - (n_packs - 1) * 64
+        assert g["n_straddles"] == strad
+        # concat-then-chop invariant: only the tail is unfilled. A
+        # final chunk STARTING in the last pack may straddle past
+        # capacity (chunks belong to the pack where they start), so
+        # the bound is capacity + max_chunk - 1, not capacity.
+        assert 1 <= g["tail_fill"] <= 64 + 40 - 1

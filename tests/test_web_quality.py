@@ -150,3 +150,24 @@ def test_path_prefix_rollup(spark):
         ("a.example.com", "/Sec1/OTHER"): 1,
         ("b.example.com", "/"): 2,
     }
+
+
+def test_rank_fusion_vs_python(spark):
+    from paperslicer_spark.operators.metrics import rank_fusion
+
+    rng = random.Random(37)
+    rows = [(i, rng.randint(0, 50), rng.randint(0, 9)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "a", "b"])
+    got = [(r["id"], r["rrf"]) for r in
+           rank_fusion(df, "id", ["a", "b"], k=60).collect()]
+
+    def ranks(key):
+        order = sorted(rows, key=lambda r: (-key(r), r[0]))
+        return {r[0]: i + 1 for i, r in enumerate(order)}
+    ra, rb = ranks(lambda r: r[1]), ranks(lambda r: r[2])
+    ref = {i: round(1.0 / (60 + ra[i]) + 1.0 / (60 + rb[i]), 9)
+           for i, _, _ in rows}
+    assert dict(got) == ref
+    # output ordered by fused score desc (id tiebreak)
+    keys = [(-v, i) for i, v in got]
+    assert keys == sorted(keys)
