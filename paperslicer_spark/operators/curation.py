@@ -373,6 +373,79 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def boilerplate_strip(df: DataFrame, id_col: str, text_col: str,
+                      group_col: str | None = None,
+                      min_df: float = 0.5, min_docs: int = 2,
+                      line_sep: str = "\n",
+                      join_sep: str = "\n") -> DataFrame:
+    """Frequency-based boilerplate removal (the CCNet / web-pipeline
+    recipe): a line that appears in at least ``min_df`` of a group's
+    documents (and at least ``min_docs`` of them) is boilerplate —
+    cookie banners, nav bars, license footers — and is stripped from
+    EVERY document, including the first.  The complement of
+    :func:`paragraph_dedup` (first-wins keeps one copy of repeated
+    content; this removes all copies of template content).
+
+    ``group_col`` scopes the frequency (host/source — a footer is
+    boilerplate within its site, not across the web); ``None`` counts
+    over the whole corpus.  Blank lines are ignored for both counting
+    and rebuild.  Doc frequency counts each line once per document.
+
+    Returns ``(id, clean_text, n_lines, n_kept)`` — one row per input
+    document; ``clean_text`` may be empty when everything was
+    template.
+
+    Plan: posexplode lines → per-(group, line-hash) DISTINCT-doc count
+    (two-phase partial aggregate) joined to the broadcast group-size
+    relation → the boilerplate set, LEFT ANTI equi-joined back on the
+    co-partitioned (group, hash) key (AQE may broadcast it when
+    small; correct either way) → the x40 in-order reassembly
+    ``groupBy(doc)``.  Worst skew on the hash side is the most common
+    template line — exactly the row group the anti-join deletes.
+    """
+    g = (F.col(group_col) if group_col else F.lit("")).alias("_g")
+    lines = (
+        df.select(F.col(id_col), g, F.posexplode(
+            F.split(F.col(text_col), line_sep)).alias("lidx", "line"))
+        .where(F.trim(F.col("line")) != "")
+        .withColumn("_h", F.md5(F.col("line")))
+    )
+    group_docs = (df.select(g, F.col(id_col)).groupBy("_g")
+                  .agg(F.count("*").cast("bigint").alias("_gdocs")))
+    doc_freq = (lines.select("_g", "_h", id_col).distinct()
+                .groupBy("_g", "_h")
+                .agg(F.count("*").cast("bigint").alias("_df")))
+    boiler = (doc_freq.join(F.broadcast(group_docs), "_g")
+              .where((F.col("_df") >= F.lit(min_docs))
+                     & (F.col("_df") >= F.lit(min_df) * F.col("_gdocs")))
+              .select("_g", "_h"))
+    kept = lines.join(boiler, ["_g", "_h"], "left_anti")
+    stats = df.select(
+        F.col(id_col),
+        F.size(F.filter(F.split(F.col(text_col), line_sep),
+                        lambda ln: F.trim(ln) != "")).cast("bigint")
+        .alias("n_lines"),
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("lidx"), F.col("line")))),
+                    lambda s: s["line"]),
+                join_sep).alias("clean_text"),
+             F.count("*").cast("bigint").alias("n_kept"))
+    )
+    return (
+        stats.join(rebuilt, id_col, "left")
+        .select(id_col,
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                "n_lines",
+                F.coalesce("n_kept", F.lit(0).cast("bigint"))
+                .alias("n_kept"))
+    )
+
+
 def exact_k_sample(df: DataFrame, key_col: str, strata_col: str,
                    k: int, salt: str = "samplek:") -> DataFrame:
     """Deterministic exact-``k`` per-stratum sample: rank rows within

@@ -543,6 +543,73 @@ def basket_pairs(df: DataFrame, key_col: str, item_col: str,
                     .alias("lift")))
 
 
+def cohen_kappa(df: DataFrame, item_col: str, rater_col: str,
+                label_col: str) -> DataFrame:
+    """Pairwise Cohen's kappa over an annotation table — the label-
+    quality audit run before trusting human (or LLM-judge) labels in
+    a training mix: chance-corrected agreement per rater pair,
+    ``kappa = (po - pe) / (1 - pe)`` with ``pe = Σ_l pA(l)·pB(l)``
+    computed, as the statistic requires, over each pair's CO-RATED
+    items only.
+
+    Input: one row per (item, rater) with the assigned label (extra
+    ratings of the same item by the same rater must be resolved
+    upstream; this operator assumes the (item, rater) key is unique).
+
+    Output, one row per unordered rater pair (``rater_a < rater_b``):
+    ``(rater_a, rater_b, n_items, po, pe, kappa)`` — po/pe/kappa
+    round(6); ``kappa`` is NULL when ``pe = 1`` and ``po < 1``
+    (undefined) and 1.0 when both raters agree perfectly on a
+    one-label table.
+
+    Plan: ONE self-equi-join on the item key (co-partitioned; worst
+    skew = an item rated by every rater, fan-out raters²) down to the
+    contingency relation ``(rater_a, rater_b, label_a, label_b,
+    count)`` — raters² × labels² rows, model-sized — on which the
+    marginals, po and pe are rollups that never touch the corpus
+    again.  Note pe's marginal product is summed over the JOINED
+    per-side label marginals, not over observed diagonal cells: both
+    raters using label ``l`` contributes to pe even when they never
+    coincided on an item (no (l, l) cell exists).
+    """
+    a = df.select(F.col(item_col).alias("_i"),
+                  F.col(rater_col).alias("rater_a"),
+                  F.col(label_col).alias("_la"))
+    b = df.select(F.col(item_col).alias("_i"),
+                  F.col(rater_col).alias("rater_b"),
+                  F.col(label_col).alias("_lb"))
+    cont = (a.join(b, "_i")
+            .where(F.col("rater_a") < F.col("rater_b"))
+            .groupBy("rater_a", "rater_b", "_la", "_lb")
+            .agg(F.count("*").cast("bigint").alias("_c")))
+    keys = ["rater_a", "rater_b"]
+    totals = cont.groupBy(keys).agg(
+        F.sum("_c").alias("n_items"),
+        F.sum(F.when(F.col("_la") == F.col("_lb"), F.col("_c"))
+              .otherwise(F.lit(0))).alias("_agree"))
+    ma = cont.groupBy(*keys, F.col("_la").alias("_l")).agg(
+        F.sum("_c").alias("_ma"))
+    mb = cont.groupBy(*keys, F.col("_lb").alias("_l")).agg(
+        F.sum("_c").alias("_mb"))
+    # inner join: a label only one side used has product 0 anyway
+    prod = (ma.join(mb, keys + ["_l"])
+            .groupBy(keys)
+            .agg(F.sum(F.col("_ma") * F.col("_mb")).alias("_sab")))
+    agg = (totals.join(prod, keys, "left")
+           .select(*keys, "n_items",
+                   (F.col("_agree") / F.col("n_items")).alias("_po"),
+                   (F.coalesce(F.col("_sab"), F.lit(0))
+                    / (F.col("n_items") * F.col("n_items")))
+                   .alias("_pe")))
+    po, pe = F.col("_po"), F.col("_pe")
+    kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)) \
+             .otherwise(F.when(po == 1.0, F.lit(1.0)))
+    return agg.select(
+        "rater_a", "rater_b", "n_items",
+        F.round(po, 6).alias("po"), F.round(pe, 6).alias("pe"),
+        F.round(kappa, 6).alias("kappa"))
+
+
 def rank_fusion(df: DataFrame, id_col: str, score_cols: list[str],
                 k: int = 60) -> DataFrame:
     """Reciprocal-rank fusion (RRF, Cormack et al.) of several
