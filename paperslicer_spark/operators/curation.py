@@ -446,6 +446,149 @@ def boilerplate_strip(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def rule_funnel(df: DataFrame, rules: list[tuple[str, "F.Column"]]
+                ) -> DataFrame:
+    """Filter-funnel attribution report — the observability query a
+    curation pipeline runs alongside its keep/drop gates: for each
+    rule (in pipeline order), how many documents reach it, how many
+    it rejects, and how many it UNIQUELY rejects (no other rule would
+    have caught them — the rule's marginal value; a rule with zero
+    unique rejections is dead weight).
+
+    ``rules`` is the ordered ``(name, keep_predicate)`` list — the
+    same predicates the real gate applies, so the report can never
+    drift from the pipeline (single source of truth).
+
+    Output, one row per rule plus a final ``__survivors__`` row:
+    ``(step, rule, n_reaching, n_rejected, n_rejected_unique,
+    pct_of_input)`` — ``n_reaching`` counts rows that passed every
+    earlier rule (sequential semantics), ``pct_of_input`` is
+    ``n_rejected / corpus`` round(9).  The survivors row carries the
+    end-to-end pass count in ``n_reaching``.
+
+    Scale: ONE corpus pass — every predicate evaluates as a codegen
+    column in the same projection and all counters are conditional
+    sums in a single map-side-combined global aggregate (one 1-row
+    partial per partition); the corpus is never shuffled.  Adding a
+    rule adds a column, not a pass.
+    """
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {names}")
+    flags = df.select(
+        *[p.cast("boolean").alias(f"_k_{i}")
+          for i, (_n, p) in enumerate(rules)])
+    # NULL predicate = reject (a quality rule that can't evaluate
+    # fails closed) — coalesce makes the arithmetic total
+    ks = [F.coalesce(F.col(f"_k_{i}"), F.lit(False))
+          for i in range(len(rules))]
+    aggs = [F.count("*").alias("_total")]
+    for i in range(len(rules)):
+        reach = None
+        for j in range(i):
+            reach = ks[j] if reach is None else (reach & ks[j])
+        reach = F.lit(True) if reach is None else reach
+        others = [k for j, k in enumerate(ks) if j != i]
+        all_others = others[0] if others else F.lit(True)
+        for o in others[1:]:
+            all_others = all_others & o
+        aggs += [
+            F.sum(reach.cast("bigint")).alias(f"_reach_{i}"),
+            F.sum((reach & ~ks[i]).cast("bigint")).alias(f"_rej_{i}"),
+            F.sum((~ks[i] & all_others).cast("bigint"))
+            .alias(f"_uniq_{i}"),
+        ]
+    surv = ks[0]
+    for k in ks[1:]:
+        surv = surv & k
+    aggs.append(F.sum(surv.cast("bigint")).alias("_surv"))
+    # materialize the 1-row counter relation driver-side: selecting a
+    # union branch per rule off the lazy agg would re-run the corpus
+    # aggregate once PER BRANCH (the rescans-subplan trap); this is
+    # the documented tiny-relation collect exception (rules-sized)
+    r = flags.agg(*aggs).collect()[0]
+    total = r["_total"] or 1
+    rows = [(i + 1, name, r[f"_reach_{i}"], r[f"_rej_{i}"],
+             r[f"_uniq_{i}"], round(r[f"_rej_{i}"] / total, 9))
+            for i, name in enumerate(names)]
+    rows.append((len(rules) + 1, "__survivors__", r["_surv"], 0, 0,
+                 round(r["_surv"] / total, 9)))
+    return df.sparkSession.createDataFrame(
+        rows, "step int, rule string, n_reaching bigint, "
+              "n_rejected bigint, n_rejected_unique bigint, "
+              "pct_of_input double")
+
+
+def contrastive_pairs(assign: DataFrame, id_col: str, cluster_col: str,
+                      n_buckets: int = 1024,
+                      salt: str = "contrast:") -> DataFrame:
+    """Mine (anchor, positive, negative) training triples from a
+    cluster assignment — the step that turns near-dup clusters
+    (connected components, SemDeDup/kmeans cells) into contrastive-
+    learning data: positives are same-cluster neighbors, negatives
+    are corpus draws from a different cluster.
+
+    Fully deterministic (seeded-md5 orders, no ``rand()``):
+    - positive: within each cluster of size ≥ 2, members form a ring
+      in ``(md5(salt||id), id)`` order; each anchor's positive is its
+      ring successor (every member of an eligible cluster yields
+      exactly one triple).
+    - negative: ids are hashed into ``n_buckets`` buckets; within a
+      bucket's own seeded order, the anchor takes the first of its
+      next two successors (wrapping to the bucket head) that belongs
+      to a DIFFERENT cluster — anchors whose three candidates are all
+      same-cluster are dropped (only happens when a bucket is
+      dominated by one cluster; shrink ``n_buckets`` if that matters).
+
+    Output: ``(anchor, cluster, positive, negative)``.
+
+    Scale: two partitioned window sorts (cluster ring, bucket ring) +
+    one co-partitioned self-join of ring metadata — no global window,
+    no crossJoin; worst skew is the largest cluster / hottest bucket,
+    both bounded (clusters by the dedup upstream, buckets by
+    ``corpus / n_buckets``).
+    """
+    from pyspark.sql import Window
+
+    ids = assign.select(F.col(id_col).alias("anchor"),
+                        F.col(cluster_col).alias("cluster"))
+    h = F.md5(F.concat(F.lit(salt), F.col("anchor").cast("string")))
+
+    wc = Window.partitionBy("cluster").orderBy(h, "anchor")
+    full = wc.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    pos = (ids
+           .withColumn("_sz", F.count("*").over(full))
+           .where(F.col("_sz") >= 2)
+           .withColumn("positive",
+                       F.coalesce(F.lead("anchor").over(wc),
+                                  F.first("anchor").over(full)))
+           .select("anchor", "cluster", "positive"))
+
+    bucket = F.pmod(F.xxhash64(F.concat(F.lit(salt + "b:"),
+                                        F.col("anchor").cast("string"))),
+                    F.lit(n_buckets))
+    wb = Window.partitionBy("_b").orderBy(h, "anchor")
+    fullb = wb.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    ringed = (ids.withColumn("_b", bucket)
+              .withColumn("_c1", F.lead("anchor", 1).over(wb))
+              .withColumn("_k1", F.lead("cluster", 1).over(wb))
+              .withColumn("_c2", F.lead("anchor", 2).over(wb))
+              .withColumn("_k2", F.lead("cluster", 2).over(wb))
+              .withColumn("_c3", F.first("anchor").over(fullb))
+              .withColumn("_k3", F.first("cluster").over(fullb)))
+    neg = ringed.select(
+        "anchor",
+        F.when(F.col("_k1") != F.col("cluster"), F.col("_c1"))
+         .when(F.col("_k2") != F.col("cluster"), F.col("_c2"))
+         .when(F.col("_k3") != F.col("cluster"), F.col("_c3"))
+         .alias("negative"))
+    return (pos.join(neg, "anchor")
+            .where(F.col("negative").isNotNull())
+            .select("anchor", "cluster", "positive", "negative"))
+
+
 def exact_k_sample(df: DataFrame, key_col: str, strata_col: str,
                    k: int, salt: str = "samplek:") -> DataFrame:
     """Deterministic exact-``k`` per-stratum sample: rank rows within
