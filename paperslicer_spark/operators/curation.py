@@ -472,6 +472,8 @@ def rule_funnel(df: DataFrame, rules: list[tuple[str, "F.Column"]]
     partial per partition); the corpus is never shuffled.  Adding a
     rule adds a column, not a pass.
     """
+    if not rules:
+        raise ValueError("rule_funnel needs at least one rule")
     names = [n for n, _ in rules]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names: {names}")
@@ -550,8 +552,11 @@ def contrastive_pairs(assign: DataFrame, id_col: str, cluster_col: str,
     """
     from pyspark.sql import Window
 
-    ids = assign.select(F.col(id_col).alias("anchor"),
-                        F.col(cluster_col).alias("cluster"))
+    # a NULL cluster is "unassigned", not a cluster: those rows can
+    # neither anchor a positive nor serve as a verified negative
+    ids = (assign.where(F.col(cluster_col).isNotNull())
+           .select(F.col(id_col).alias("anchor"),
+                   F.col(cluster_col).alias("cluster")))
     h = F.md5(F.concat(F.lit(salt), F.col("anchor").cast("string")))
 
     wc = Window.partitionBy("cluster").orderBy(h, "anchor")

@@ -555,6 +555,9 @@ def cohen_kappa(df: DataFrame, item_col: str, rater_col: str,
     Input: one row per (item, rater) with the assigned label (extra
     ratings of the same item by the same rater must be resolved
     upstream; this operator assumes the (item, rater) key is unique).
+    NULL labels are dropped at entry — a missing label is a missing
+    rating, not a ratable value (it could never agree and would
+    silently inflate ``n_items``).
 
     Output, one row per unordered rater pair (``rater_a < rater_b``):
     ``(rater_a, rater_b, n_items, po, pe, kappa)`` — po/pe/kappa
@@ -572,12 +575,13 @@ def cohen_kappa(df: DataFrame, item_col: str, rater_col: str,
     raters using label ``l`` contributes to pe even when they never
     coincided on an item (no (l, l) cell exists).
     """
-    a = df.select(F.col(item_col).alias("_i"),
-                  F.col(rater_col).alias("rater_a"),
-                  F.col(label_col).alias("_la"))
-    b = df.select(F.col(item_col).alias("_i"),
-                  F.col(rater_col).alias("rater_b"),
-                  F.col(label_col).alias("_lb"))
+    rated = df.where(F.col(label_col).isNotNull())
+    a = rated.select(F.col(item_col).alias("_i"),
+                     F.col(rater_col).alias("rater_a"),
+                     F.col(label_col).alias("_la"))
+    b = rated.select(F.col(item_col).alias("_i"),
+                     F.col(rater_col).alias("rater_b"),
+                     F.col(label_col).alias("_lb"))
     cont = (a.join(b, "_i")
             .where(F.col("rater_a") < F.col("rater_b"))
             .groupBy("rater_a", "rater_b", "_la", "_lb")

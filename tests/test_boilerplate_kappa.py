@@ -134,6 +134,16 @@ def test_kappa_degenerate_single_label(spark):
     assert got["kappa"] == 1.0
 
 
+def test_kappa_null_labels_dropped(spark):
+    rows = [(1, "a", "x"), (1, "b", "x"),
+            (2, "a", None), (2, "b", "x"),      # missing rating
+            (3, "a", "y"), (3, "b", "y")]
+    got = cohen_kappa(_ann(spark, rows), "item", "rater",
+                      "label").collect()[0]
+    assert got["n_items"] == 2                  # item 2 not co-rated
+    assert got["po"] == 1.0
+
+
 def ref_kappa(rows, ra, rb):
     la = {i: l for i, r, l in rows if r == ra}
     lb = {i: l for i, r, l in rows if r == rb}

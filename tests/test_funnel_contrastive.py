@@ -68,6 +68,8 @@ def test_funnel_duplicate_rule_names_rejected(spark):
     with pytest.raises(ValueError):
         rule_funnel(_corpus(spark), [("r", F.lit(True)),
                                      ("r", F.lit(False))])
+    with pytest.raises(ValueError):
+        rule_funnel(_corpus(spark), [])
 
 
 # ---------- contrastive_pairs ----------
@@ -108,6 +110,17 @@ def test_contrastive_positive_ring_matches_reference(spark):
             want = ring[(pos_idx + 1) % len(ring)]
             if anchor in got:                 # neg join may drop rows
                 assert got[anchor] == want
+
+
+def test_contrastive_null_cluster_excluded(spark):
+    rows = [(0, "A"), (1, "A"), (2, None), (3, "B"), (4, "B")]
+    df = spark.createDataFrame(rows, "doc_id int, cluster string")
+    got = contrastive_pairs(df, "doc_id", "cluster",
+                            n_buckets=1).collect()
+    ids = {r["anchor"] for r in got} | {r["positive"] for r in got} \
+        | {r["negative"] for r in got}
+    assert 2 not in ids                    # unassigned row fully out
+    assert len(got) > 0
 
 
 def test_contrastive_deterministic(spark):
