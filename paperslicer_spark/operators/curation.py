@@ -521,6 +521,89 @@ def rule_funnel(df: DataFrame, rules: list[tuple[str, "F.Column"]]
               "pct_of_input double")
 
 
+def mixture_waterfill(sources: DataFrame, budget: int,
+                      source_col: str = "source",
+                      avail_col: str = "n_tokens",
+                      weight_col: str = "weight") -> DataFrame:
+    """Water-filling token-budget allocation across sources — the
+    data-mix solver behind published blends (allocate a training
+    budget proportionally to per-source quality weights, capped by
+    what each source actually has; re-distribute the excess of
+    saturated sources among the rest until nothing moves).
+
+    Input: the per-source relation ``(source, n_tokens, weight)``
+    (availability in tokens, non-negative weight).  Output adds
+    ``alloc_tokens`` (bigint, Σ ≤ budget) and ``rate``
+    (``alloc/avail`` double round(9) — what :func:`apply_mixture`
+    consumes).
+
+    Exact and deterministic: each round allocates
+    ``remaining * w_i / Σ_active w`` in integer floor arithmetic,
+    saturated sources are fixed at their availability, and the loop
+    runs at most ``|sources|`` rounds.  Flooring leaves a < |sources|
+    token remainder unallocated (never over-allocates).
+
+    Scale: the solve is driver-side over the SOURCES-sized relation
+    (the kmeans/bpe model-relation precedent — sources number in the
+    dozens, not the billions); the corpus is never touched.  Weights
+    summing to 0 (or an empty relation) allocate nothing.
+    """
+    rows = [(r[source_col], int(r[avail_col]), float(r[weight_col]))
+            for r in sources.select(source_col, avail_col,
+                                    weight_col).collect()]
+    alloc = {s: 0 for s, _a, _w in rows}
+    active = {s: (a, w) for s, a, w in rows if a > 0 and w > 0}
+    remaining = int(budget)
+    for _ in range(len(rows)):
+        wsum = sum(w for _a, w in active.values())
+        if remaining <= 0 or wsum <= 0 or not active:
+            break
+        share = {s: int(remaining * w / wsum)
+                 for s, (_a, w) in active.items()}
+        saturated = {s for s, (a, _w) in active.items()
+                     if share[s] >= a}
+        if not saturated:
+            for s, take in share.items():
+                alloc[s] += take
+            remaining -= sum(share.values())
+            break
+        for s in saturated:
+            a, _w = active.pop(s)
+            take = a - alloc[s]
+            alloc[s] = a
+            remaining -= take
+    out = [(s, a, w, alloc[s],
+            round(alloc[s] / a, 9) if a else 0.0)
+           for s, a, w in rows]
+    return sources.sparkSession.createDataFrame(
+        out, f"{source_col} string, {avail_col} bigint, "
+             f"{weight_col} double, alloc_tokens bigint, rate double")
+
+
+def apply_mixture(df: DataFrame, rates: DataFrame, source_col: str,
+                  id_col: str, salt: str = "mix:",
+                  denom: int = 10 ** 9) -> DataFrame:
+    """Materialize a :func:`mixture_waterfill` plan: keep each row iff
+    its seeded hash bucket falls under the source's rate threshold —
+    the x28 sampler rule (``pmod(md5_bigint(salt||id), denom) <
+    round(rate * denom)``), integer-exact, deterministic across runs
+    and cluster sizes, no ``rand()``.  ``denom = 1e9`` matches the
+    rate's 9dp rounding grid.  The rates relation is sources-sized
+    and broadcast; the corpus pass is a map-side filter, zero
+    shuffles.
+    """
+    from paperslicer_spark.functions.text_stats import md5_bigint
+
+    bucket = F.pmod(
+        md5_bigint(F.col(id_col).cast("string"), salt=salt),
+        F.lit(denom))
+    thresh = F.round(F.col("rate") * F.lit(denom)).cast("bigint")
+    return (df.join(F.broadcast(rates.select(source_col, "rate")),
+                    source_col)
+            .where(bucket < thresh)
+            .drop("rate"))
+
+
 def contrastive_pairs(assign: DataFrame, id_col: str, cluster_col: str,
                       n_buckets: int = 1024,
                       salt: str = "contrast:") -> DataFrame:
