@@ -592,8 +592,6 @@ def apply_mixture(df: DataFrame, rates: DataFrame, source_col: str,
     and broadcast; the corpus pass is a map-side filter, zero
     shuffles.
     """
-    from paperslicer_spark.functions.text_stats import md5_bigint
-
     bucket = F.pmod(
         md5_bigint(F.col(id_col).cast("string"), salt=salt),
         F.lit(denom))
@@ -653,9 +651,11 @@ def contrastive_pairs(assign: DataFrame, id_col: str, cluster_col: str,
                                   F.first("anchor").over(full)))
            .select("anchor", "cluster", "positive"))
 
-    bucket = F.pmod(F.xxhash64(F.concat(F.lit(salt + "b:"),
-                                        F.col("anchor").cast("string"))),
-                    F.lit(n_buckets))
+    # bucket hash = the engine's shared md5_bigint (NOT xxhash64,
+    # which DuckDB cannot reproduce — the x09/x41 cannot-drift rule)
+    bucket = F.pmod(
+        md5_bigint(F.col("anchor").cast("string"), salt=salt + "b:"),
+        F.lit(n_buckets))
     wb = Window.partitionBy("_b").orderBy(h, "anchor")
     fullb = wb.rowsBetween(Window.unboundedPreceding,
                            Window.unboundedFollowing)
