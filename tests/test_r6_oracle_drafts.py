@@ -176,6 +176,55 @@ def test_oracle_funnel(spark, tmp_path):
     _cmp(got, sql, tmp_path, {"docs": pdf_in})
 
 
+# ---------- contrastive_pairs ----------
+
+def test_oracle_contrastive(spark, tmp_path):
+    from paperslicer_spark.operators.curation import contrastive_pairs
+    rows = [(i, f"c{(i * 13) % 7}") for i in range(400)]
+    pdf_in = __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "cluster"])
+    got = contrastive_pairs(spark.createDataFrame(pdf_in),
+                            "doc_id", "cluster", n_buckets=8)
+    sql = """
+    WITH ids AS (
+      SELECT doc_id AS anchor, cluster,
+             md5('contrast:' || CAST(doc_id AS VARCHAR)) AS h,
+             CAST('0x' || substr(md5('contrast:b:' ||
+                  CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS b
+      FROM assign WHERE cluster IS NOT NULL
+    ), pos AS (
+      SELECT anchor, cluster,
+             coalesce(lead(anchor) OVER wc,
+                      first_value(anchor) OVER wc) AS positive,
+             count(*) OVER (PARTITION BY cluster) AS sz
+      FROM ids
+      WINDOW wc AS (PARTITION BY cluster ORDER BY h, anchor
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)
+    ), ringed AS (
+      SELECT anchor, cluster,
+             lead(anchor, 1) OVER wb AS c1, lead(cluster, 1) OVER wb AS k1,
+             lead(anchor, 2) OVER wb AS c2, lead(cluster, 2) OVER wb AS k2,
+             first_value(anchor) OVER wb AS c3,
+             first_value(cluster) OVER wb AS k3
+      FROM ids
+      WINDOW wb AS (PARTITION BY b ORDER BY h, anchor
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)
+    ), neg AS (
+      SELECT anchor,
+             CASE WHEN k1 <> cluster THEN c1
+                  WHEN k2 <> cluster THEN c2
+                  WHEN k3 <> cluster THEN c3 END AS negative
+      FROM ringed
+    )
+    SELECT p.anchor, p.cluster, p.positive, n.negative
+    FROM pos p JOIN neg n USING (anchor)
+    WHERE p.sz >= 2 AND n.negative IS NOT NULL
+    """
+    _cmp(got, sql, tmp_path, {"assign": pdf_in})
+
+
 # ---------- apply_mixture ----------
 
 def test_oracle_apply_mixture(spark, tmp_path):
