@@ -1102,8 +1102,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         hist = hist_sketch(docs, "source",
                            TS.word_count(F.col("text")))
+        # n as double: the oracle's `n` rides a DuckDB window sum()
+        # out as HUGEINT and lands in pandas as float64 — the frozen
+        # oracle SQL cannot change, so the Spark side matches its
+        # dtype (round-5 driver red; value is a per-source doc count,
+        # exact in a double through 2^53)
         return hist_quantile(hist) \
-            .select(F.col("key").alias("source"), "n",
+            .select(F.col("key").alias("source"),
+                    F.col("n").cast("double").alias("n"),
                     "p50_lo", "p90_lo", "p99_lo")
     q["x63_hist_quantiles"] = x63_hist_quantiles
 

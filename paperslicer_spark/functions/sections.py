@@ -72,6 +72,7 @@ def sanitize_heading(name: str) -> str:
     return s.strip()
 
 
+@lru_cache(maxsize=65536)
 def canonical_section_name(name: str) -> str:
     """Map a raw heading to its canonical IMRaD key.
 
@@ -79,6 +80,11 @@ def canonical_section_name(name: str) -> str:
     exact table hit, results+discussion composite, methods keywords,
     intro keywords, conclusions, results, discussion, fallback
     snake_case of the sanitized heading.
+
+    Memoized: headings draw from a small vocabulary, and the per-call
+    cost (3 regex passes + keyword scans) was ~24% of the span-path
+    parse profile. Pure string→string, so the bounded cache is safe
+    in reused executor workers.
     """
     n = sanitize_heading(name)
     if not n:

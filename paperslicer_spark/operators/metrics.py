@@ -248,7 +248,16 @@ def exact_percentiles(df: DataFrame, group_col: str, value_expr,
 
       pos  = q * (n - 1)            # 0-based position in sorted order
       lo   = floor(pos); frac = pos - lo
-      pq   = v[lo] + (v[lo+1] - v[lo]) * frac
+      pq   = v[lo] * (1 - frac) + v[lo+1] * frac
+
+    The symmetric weighted form is NOT algebraically interchangeable
+    with ``v_lo + (v_hi - v_lo) * frac`` at the bit level: DuckDB's
+    ``quantile_cont`` computes ``lo * (1 - d) + hi * d`` and the two
+    associations differ by 1 ULP at epoch-µs magnitudes, which lands
+    on different 6-dp roundings (the round-5 x85 driver red). Keep
+    this exact operation order — it is what makes round(interp, 6)
+    bit-equal to DuckDB ``round(quantile_cont(...), 6)`` at every
+    magnitude.
 
     One shuffle on ``group_col`` (reused by the window AND the final
     aggregate — Exchange reuse, no second shuffle), one broadcast join
@@ -284,7 +293,9 @@ def exact_percentiles(df: DataFrame, group_col: str, value_expr,
         frac = pos - lo
         v_lo = F.max(F.when(F.col("_rn") == lo, F.col("_v")))
         v_hi = F.max(F.when(F.col("_rn") == lo + 1, F.col("_v")))
-        interp = v_lo + (F.coalesce(v_hi, v_lo) - v_lo) * F.max(frac)
+        fr = F.max(frac)
+        interp = (v_lo * (F.lit(1.0) - fr)
+                  + F.coalesce(v_hi, v_lo) * fr)
         aggs.append(F.round(interp, 6).alias(name))
     aggs.extend(extra_aggs or [])
     return j.groupBy(group_col).agg(*aggs)

@@ -24,10 +24,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _norm_cell(v):
+    # Driver-faithful: dtype-sensitive and full-precision. A float64
+    # cell renders via shortest round-trip repr ("25.0", 17 sig
+    # digits when needed) so int64 25 vs float64 25.0 MISMATCH and a
+    # 1-ULP double difference MISMATCHES — the round-5 x63/x85 reds
+    # both slipped through the old "%.9g" + str() normalization.
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return repr(float(v))
     return str(v)
 
 
