@@ -29,9 +29,30 @@ from paperslicer_spark.functions.sections import (
 TEI_NS = "http://www.tei-c.org/ns/1.0"
 XML_ID = "{http://www.w3.org/XML/1998/namespace}id"
 
+_TAG_CACHE: Dict[str, str] = {}
+
 
 def T(tag: str) -> str:
-    return "{%s}%s" % (TEI_NS, tag)
+    # dict-cached: T() runs hundreds of times per document (every
+    # _child/_desc call and several per-node loops) and the "%"-format
+    # was ~5% of the parse profile; the cache is a handful of entries.
+    t = _TAG_CACHE.get(tag)
+    if t is None:
+        t = _TAG_CACHE[tag] = "{%s}%s" % (TEI_NS, tag)
+    return t
+
+
+# hot-loop tag constants (behaviour-identical to T(...) at each site)
+T_P = T("p")
+T_AB = T("ab")
+T_HEAD = T("head")
+T_DIV = T("div")
+T_FIGURE = T("figure")
+T_TABLE = T("table")
+T_FIGDESC = T("figDesc")
+T_PB = T("pb")
+T_ZONE = T("zone")
+_P_AB = (T_P, T_AB)
 
 
 def normalize_space(text: str) -> str:
@@ -63,32 +84,61 @@ def _desc(el: ET.Element, tag: str) -> List[ET.Element]:
 
 
 class _Doc:
-    """Indexes over one parsed document: parents + document order + pb pages."""
+    """Indexes over one parsed document: parents + document order + pb
+    pages — all built LAZILY on first use. Most documents never need
+    the order index (``_xall`` only sorts multi-parent steps) or the
+    zone/page maps (coords paths), and eagerly building per-element
+    dicts for every document was ~12% of the parse profile. The tree
+    is never mutated between construction and use, so a lazy build
+    sees the identical document."""
+
+    __slots__ = ("root", "_parent", "_order", "_pb_pos", "_pb_page",
+                 "_zones")
 
     def __init__(self, root: ET.Element):
         self.root = root
-        self.parent: Dict[int, ET.Element] = {}
-        self.order: Dict[int, int] = {}
+        self._parent: Optional[Dict[int, ET.Element]] = None
+        self._order: Optional[Dict[int, int]] = None
+        self._pb_pos: Optional[List[int]] = None
+        self._pb_page: Optional[List[Optional[int]]] = None
+        self._zones: Optional[Dict[str, ET.Element]] = None
+
+    @property
+    def parent(self) -> Dict[int, ET.Element]:
+        if self._parent is None:
+            p: Dict[int, ET.Element] = {}
+            for el in self.root.iter():
+                for c in el:
+                    p[id(c)] = el
+            self._parent = p
+        return self._parent
+
+    def _build_order(self) -> None:
+        order: Dict[int, int] = {}
         pb_pos: List[int] = []
         pb_page: List[Optional[int]] = []
-        for i, el in enumerate(root.iter()):
-            self.order[id(el)] = i
-            for c in el:
-                self.parent[id(c)] = el
-            if el.tag == T("pb"):
+        for i, el in enumerate(self.root.iter()):
+            order[id(el)] = i
+            if el.tag == T_PB:
                 n = el.get("n")
                 page = int(str(n).strip()) if n and str(n).strip().isdigit() else None
                 pb_pos.append(i)
                 pb_page.append(page)
+        self._order = order
         self._pb_pos = pb_pos
         self._pb_page = pb_page
-        self._zones: Dict[str, ET.Element] = {
-            z.get(XML_ID): z for z in root.iter(T("zone")) if z.get(XML_ID)
-        }
+
+    @property
+    def order(self) -> Dict[int, int]:
+        if self._order is None:
+            self._build_order()
+        return self._order
 
     def nearest_preceding_page(self, el: ET.Element) -> Optional[int]:
         """Page number of the nearest preceding ``<pb n=...>`` milestone."""
-        i = self.order.get(id(el))
+        if self._order is None:
+            self._build_order()
+        i = self._order.get(id(el))
         if i is None:
             return None
         k = bisect_left(self._pb_pos, i) - 1
@@ -97,6 +147,11 @@ class _Doc:
         return self._pb_page[k]
 
     def zone(self, zone_id: str) -> Optional[ET.Element]:
+        if self._zones is None:
+            self._zones = {
+                z.get(XML_ID): z
+                for z in self.root.iter(T_ZONE) if z.get(XML_ID)
+            }
         return self._zones.get(zone_id)
 
 
@@ -253,9 +308,18 @@ def _xall(doc: "_Doc", steps: List[tuple]) -> List[ET.Element]:
     containers a ``child`` step can otherwise emit an outer
     container's child before a deeper, earlier-in-document one
     (tests/lxml_shim.py sorts the same way after every step)."""
-    order = doc.order
     nodes = [doc.root]
     for axis, tag in steps:
+        if len(nodes) == 1:
+            # single parent: _desc/iter emit in doc order already and
+            # no cross-parent dedup or sort is needed — the common
+            # case for every step chain rooted at one container
+            n = nodes[0]
+            nodes = (_desc(n, tag) if axis == "desc"
+                     else [c for c in n if c.tag == T(tag)])
+            if not nodes:
+                return []
+            continue
         nxt: List[ET.Element] = []
         seen = set()
         for n in nodes:
@@ -269,8 +333,10 @@ def _xall(doc: "_Doc", steps: List[tuple]) -> List[ET.Element]:
             return []
         # a step under a SINGLE parent is already doc-ordered (iter()
         # is DFS order; child lists are in order) — only a multi-parent
-        # step can interleave, so only then pay the sort
-        if len(nodes) > 1 and len(nxt) > 1:
+        # step can interleave, so only then pay the sort (doc.order is
+        # built lazily on first touch)
+        if len(nxt) > 1:
+            order = doc.order
             nxt.sort(key=lambda e: order[id(e)])
         nodes = nxt
     return nodes
@@ -358,7 +424,7 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
             continue
         content_texts: List[str] = []
         for node in div.iter():
-            if node.tag in (T("p"), T("ab")):
+            if node.tag in _P_AB:
                 t = _txt(node)
                 if t:
                     content_texts.append(t)
@@ -491,9 +557,10 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
         label = f"Table {num}"
         if label in existing_labels:
             continue
-        par = doc.parent.get(id(ref))
-        while par is not None and par.tag != T("p"):
-            par = doc.parent.get(id(par))
+        parent_map = doc.parent
+        par = parent_map.get(id(ref))
+        while par is not None and par.tag != T_P:
+            par = parent_map.get(id(par))
         caption = None
         if par is not None:
             ptxt = _txt(par)

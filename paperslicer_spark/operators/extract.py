@@ -18,6 +18,10 @@ from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from paperslicer_spark.extraction.merge import merge_table_entries
+from paperslicer_spark.extraction.review import apply_review, should_apply
+from paperslicer_spark.extraction.tei import parse_tei
+
 RECORD_SCHEMA = (
     "conv_id string, status string, error string, "
     "title string, journal string, doi string, "
@@ -93,10 +97,6 @@ _UNSET = object()
 def _build_row(conv_id: str, payload: str, merge_tables: bool,
                review_mode: Optional[bool]) -> dict:
     """Parse one assembled payload → flat record row (error-row model)."""
-    from paperslicer_spark.extraction.tei import parse_tei
-    from paperslicer_spark.extraction.merge import merge_table_entries
-    from paperslicer_spark.extraction.review import should_apply, apply_review
-
     try:
         rec = parse_tei(payload, source_path=conv_id)
         if merge_tables:
@@ -124,7 +124,8 @@ def parse_documents(docs: DataFrame, merge_tables: bool = True,
 
         for pdf in batches:
             cols: dict = {c: [] for c in _COLS}
-            for conv_id, payload in zip(pdf["conv_id"], pdf["payload"]):
+            for conv_id, payload in zip(pdf["conv_id"].tolist(),
+                                        pdf["payload"].tolist()):
                 row = _build_row(conv_id, payload, merge_tables, review_mode)
                 for c in _COLS:
                     cols[c].append(row[c])
@@ -239,7 +240,8 @@ def parse_turns_fused(turns: DataFrame, merge_tables: bool = True,
             state["n"] += 1
 
         for pdf in batches:
-            for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
+            for conv_id, text in zip(pdf["conv_id"].tolist(),
+                                     pdf["text"].tolist()):
                 if conv_id != state["conv"]:
                     if state["conv"] is not _UNSET:
                         close_conv()
@@ -271,6 +273,14 @@ SECTIONS_SCHEMA = (
 )
 
 
+def _sections_pa_schema():
+    import pyarrow as pa
+    return pa.schema([
+        ("conv_id", pa.string()), ("section_label", pa.string()),
+        ("clean_text", pa.string()), ("is_canonical", pa.bool_()),
+    ])
+
+
 # Marker label for error-document rows from the sections-only paths
 # (emit_errors=True): at corpus scale "the sections output is silently
 # smaller than the corpus" is an operational trap — the marker row
@@ -296,15 +306,14 @@ def extract_sections_direct(docs: DataFrame, merge_tables: bool = True,
     ``sections_long(parse_documents(...))``, which drops error docs.
     """
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-        from paperslicer_spark.extraction.tei import parse_tei
-        from paperslicer_spark.extraction.merge import merge_table_entries
-        from paperslicer_spark.extraction.review import should_apply, apply_review
+    def run(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
 
-        for pdf in batches:
+        pa_schema = _sections_pa_schema()
+        for batch in batches:
             conv_ids, labels, texts, canon = [], [], [], []
-            for conv_id, payload in zip(pdf["conv_id"], pdf["payload"]):
+            for conv_id, payload in zip(batch.column(0).to_pandas().tolist(),
+                                        batch.column(1).to_pandas().tolist()):
                 try:
                     rec = parse_tei(payload, source_path=conv_id)
                     if merge_tables:
@@ -329,12 +338,15 @@ def extract_sections_direct(docs: DataFrame, merge_tables: bool = True,
                     labels.append(k)
                     texts.append(v)
                     canon.append(False)
-            yield pd.DataFrame({
-                "conv_id": conv_ids, "section_label": labels,
-                "clean_text": texts, "is_canonical": canon,
-            })
+            yield pa.RecordBatch.from_arrays([
+                pa.array(conv_ids, pa.string()),
+                pa.array(labels, pa.string()),
+                pa.array(texts, pa.string()),
+                pa.array(canon, pa.bool_()),
+            ], schema=pa_schema)
 
-    return docs.mapInPandas(run, schema=SECTIONS_SCHEMA)
+    return docs.select("conv_id", "payload").mapInArrow(
+        run, schema=SECTIONS_SCHEMA)
 
 
 def extract_sections_fused(turns: DataFrame, merge_tables: bool = True,
@@ -368,8 +380,8 @@ def extract_sections_fused(turns: DataFrame, merge_tables: bool = True,
         t = t.repartition(_fused_partitions(t, partitions), "conv_id")
     t = t.sortWithinPartitions("conv_id", "turn_idx", "text")
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
+    def run(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
         from paperslicer_spark.sources.transcripts import assemble_payload
 
         out = {"conv_id": [], "section_label": [], "clean_text": [],
@@ -399,8 +411,22 @@ def extract_sections_fused(turns: DataFrame, merge_tables: bool = True,
             for os_ in row["other_sections"]:
                 emit(os_["head"], os_["text"], False)
 
-        for pdf in batches:
-            for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
+        pa_schema = _sections_pa_schema()
+
+        def flush():
+            rb = pa.RecordBatch.from_arrays([
+                pa.array(out["conv_id"], pa.string()),
+                pa.array(out["section_label"], pa.string()),
+                pa.array(out["clean_text"], pa.string()),
+                pa.array(out["is_canonical"], pa.bool_()),
+            ], schema=pa_schema)
+            for k in out:
+                out[k] = []
+            return rb
+
+        for batch in batches:
+            for conv_id, text in zip(batch.column(0).to_pandas().tolist(),
+                                     batch.column(2).to_pandas().tolist()):
                 if conv_id != state["conv"]:
                     if state["conv"] is not _UNSET:
                         close_conv()
@@ -414,15 +440,13 @@ def extract_sections_fused(turns: DataFrame, merge_tables: bool = True,
                             and len(state["frags"]) > max_turns_per_conv):
                         state["over"], state["frags"] = True, []
             if len(out["conv_id"]) >= 4096:
-                yield pd.DataFrame(out)
-                for k in out:
-                    out[k] = []
+                yield flush()
         if state["conv"] is not _UNSET:
             close_conv()
         if out["conv_id"]:
-            yield pd.DataFrame(out)
+            yield flush()
 
-    return t.mapInPandas(run, schema=SECTIONS_SCHEMA)
+    return t.mapInArrow(run, schema=SECTIONS_SCHEMA)
 
 
 def sections_long(records: DataFrame) -> DataFrame:

@@ -54,10 +54,16 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Ties broken by neighbor id for determinism; self-matches excluded.
     The query side is broadcast (small by contract).
     """
+    # norms are materialized per ROW before the cross join — inlined in
+    # the cosine they would be re-evaluated per (query, neighbor) PAIR
+    # (k·|corpus| + |queries|·|corpus| extra HOF folds). Same fold
+    # order as `cosine`, so the quotient is bit-identical.
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec"))
+    q = q.select("query_id", "qvec", _norm(F.col("qvec")).alias("_qn"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cvec"))
+    c = c.select("neighbor_id", "cvec", _norm(F.col("cvec")).alias("_cn"))
     scored = (
         F.broadcast(q).crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -67,7 +73,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             # cosine in different fold orders can differ below 1e-6,
             # flipping near-tie ranks — 6dp + neighbor_id tiebreak makes
             # the rank deterministic across engines
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+            F.round(_dot(F.col("qvec"), F.col("cvec"))
+                    / (F.col("_qn") * F.col("_cn")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

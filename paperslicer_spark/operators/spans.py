@@ -24,9 +24,13 @@ from __future__ import annotations
 
 from typing import Iterator, List, Optional
 
+from xml.etree import ElementTree as ET
+
 from pyspark.sql import DataFrame
 
-from paperslicer_spark.extraction.tei import T, normalize_space, _txt
+from paperslicer_spark.extraction.tei import (
+    T, T_AB, T_DIV, T_FIGDESC, T_FIGURE, T_HEAD, T_P, T_TABLE, _P_AB,
+    normalize_space, _txt)
 from paperslicer_spark.functions.sections import canonical_section_name
 
 SPAN_SCHEMA = (
@@ -43,9 +47,16 @@ _WRAP_OPEN = '<w xmlns="http://www.tei-c.org/ns/1.0">'
 
 
 def turn_units(fragment: str) -> tuple[str, List[dict], bool]:
-    """Parse one balanced turn fragment → (clean_text, units, ok)."""
-    from xml.etree import ElementTree as ET
+    """Parse one balanced turn fragment → (clean_text, units, ok).
 
+    Single preorder DFS (identical visit order to ``root.iter()``)
+    carrying the enclosing-div label and the parent down the walk —
+    replaces the per-turn parent map plus a parent-chain climb per
+    paragraph (the label of the NEAREST enclosing div, None when that
+    div has no direct ``<head>`` child or the unit is outside any
+    div — exactly the old ``nearest_div_label``). Each div's head is
+    canonicalized once instead of once per contained paragraph.
+    """
     try:
         root = ET.fromstring(_WRAP_OPEN + fragment + "</w>")
     except ET.ParseError:
@@ -53,77 +64,78 @@ def turn_units(fragment: str) -> tuple[str, List[dict], bool]:
         return normalize_space(fragment), [], False
 
     clean = normalize_space(" ".join(root.itertext()))
-    parent = {id(c): p for p in root.iter() for c in p}
-
-    def nearest_div_label(el) -> Optional[str]:
-        p = parent.get(id(el))
-        while p is not None:
-            if p.tag == T("div"):
-                head = p.find(T("head"))
-                if head is not None:
-                    key = canonical_section_name(_txt(head))
-                    return key or None
-                return None
-            p = parent.get(id(p))
-        return None
-
     units: List[dict] = []
     cursor = 0
-    for el in root.iter():
+
+    def visit(el, parent, div_label: Optional[str]) -> None:
+        nonlocal cursor
         tag = el.tag
         kind = None
         label = None
-        if tag in (T("p"), T("ab")):
+        if tag in _P_AB:
             kind = "para"
-            label = nearest_div_label(el)
-        elif tag == T("head"):
-            par = parent.get(id(el))
-            ptag = par.tag if par is not None else ""
-            if ptag == T("figure"):
+            label = div_label
+        elif tag == T_HEAD:
+            ptag = parent.tag if parent is not None else ""
+            if ptag == T_FIGURE:
                 kind = "figure_head"
-            elif ptag == T("table"):
+            elif ptag == T_TABLE:
                 kind = "table_caption"
             else:
                 kind = "div_head"
                 label = canonical_section_name(_txt(el)) or None
-        elif tag == T("figDesc"):
-            par = parent.get(id(el))
-            is_tab = par is not None and (par.get("type") or "").lower() == "table"
+        elif tag == T_FIGDESC:
+            is_tab = parent is not None and (parent.get("type") or "").lower() == "table"
             kind = "table_desc" if is_tab else "figure_caption"
-        if kind is None:
-            continue
-        text = _txt(el)
-        if not text:
-            continue
-        start = clean.find(text, cursor)
-        if start < 0:
-            # nested-unit token overlap cannot occur for these tags;
-            # defensive: skip rather than emit a broken span
-            continue
-        end = start + len(text)
-        cursor = end
-        units.append({
-            "kind": kind,
-            "section_label": label,
-            "char_start": start,
-            "char_end": end,
-            "clean_text": text,
-        })
+        if kind is not None:
+            text = _txt(el)
+            if text:
+                start = clean.find(text, cursor)
+                if start >= 0:
+                    # start < 0: nested-unit token overlap cannot occur
+                    # for these tags; defensive skip, never a broken span
+                    end = start + len(text)
+                    cursor = end
+                    units.append({
+                        "kind": kind,
+                        "section_label": label,
+                        "char_start": start,
+                        "char_end": end,
+                        "clean_text": text,
+                    })
+        if tag == T_DIV:
+            head = el.find(T_HEAD)
+            div_label = (canonical_section_name(_txt(head)) or None) \
+                if head is not None else None
+        for c in el:
+            visit(c, el, div_label)
+
+    visit(root, None, None)
     return clean, units, True
 
 
 def extract_turn_spans(turns: DataFrame) -> DataFrame:
     """Transcripts → per-unit span rows (map-only, no shuffle).
 
-    Output batches are built column-wise (dict-of-lists): constructing
-    a pandas DataFrame from per-row dicts measured ~10× slower than the
-    parse itself at bench scale — the Arrow boundary must stay cheap.
+    Arrow-native stage: input is projected to the three columns the
+    parse reads (an opaque UDF otherwise defeats column pruning and
+    ships every column — guide §4.1), batches arrive as Arrow record
+    batches, and output batches are built column-wise straight into
+    ``pa.RecordBatch.from_arrays`` — measured ~5× cheaper per output
+    batch than pandas-DataFrame construction + from_pandas coercion
+    (and per-row dicts were ~10× slower still).
     """
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
+    def run(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
 
-        for pdf in batches:
+        out_schema = pa.schema([
+            ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+            ("unit_idx", pa.int32()), ("kind", pa.string()),
+            ("section_label", pa.string()), ("char_start", pa.int32()),
+            ("char_end", pa.int32()), ("clean_text", pa.string()),
+        ])
+        for batch in batches:
             conv_ids: list = []
             turn_idxs: list = []
             unit_idxs: list = []
@@ -133,7 +145,9 @@ def extract_turn_spans(turns: DataFrame) -> DataFrame:
             ends: list = []
             texts: list = []
             for conv_id, turn_idx, text in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+                batch.column(0).to_pandas().tolist(),
+                batch.column(1).to_pandas().tolist(),
+                batch.column(2).to_pandas().tolist(),
             ):
                 if text is None:
                     continue
@@ -148,14 +162,19 @@ def extract_turn_spans(turns: DataFrame) -> DataFrame:
                     starts.append(u["char_start"])
                     ends.append(u["char_end"])
                     texts.append(u["clean_text"])
-            yield pd.DataFrame({
-                "conv_id": conv_ids, "turn_idx": turn_idxs,
-                "unit_idx": unit_idxs, "kind": kinds,
-                "section_label": labels, "char_start": starts,
-                "char_end": ends, "clean_text": texts,
-            })
+            yield pa.RecordBatch.from_arrays([
+                pa.array(conv_ids, pa.string()),
+                pa.array(turn_idxs, pa.int32()),
+                pa.array(unit_idxs, pa.int32()),
+                pa.array(kinds, pa.string()),
+                pa.array(labels, pa.string()),
+                pa.array(starts, pa.int32()),
+                pa.array(ends, pa.int32()),
+                pa.array(texts, pa.string()),
+            ], schema=out_schema)
 
-    return turns.mapInPandas(run, schema=SPAN_SCHEMA)
+    return turns.select("conv_id", "turn_idx", "text") \
+        .mapInArrow(run, schema=SPAN_SCHEMA)
 
 
 def clean_turns(turns: DataFrame) -> DataFrame:
