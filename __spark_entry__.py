@@ -940,9 +940,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def x52_c4_line_filter(spark, sf):
         # C4-style line-level cleaning (min words ∧ terminal punct ∧
-        # no banned phrase) + doc rebuild, over synthesized lines
+        # no banned phrase) + doc rebuild, over synthesized lines.
+        # widen BEFORE the synth-lines projection: the line synthesis
+        # is itself a CPU-heavy HOF map and would otherwise run at the
+        # scan's (single-file) parallelism — rows are unchanged, only
+        # their placement
         from paperslicer_spark.operators.curation import c4_line_filter
-        docs = _t(spark, sf, "documents").where(F.trim("text") != "")
+        docs = TS.widen_undersplit(
+            _t(spark, sf, "documents").where(F.trim("text") != ""))
         withl = docs.select(
             "doc_id", F.array_join(_synth_lines(), "\n").alias("text"))
         return c4_line_filter(withl, "doc_id", "text", min_words=3)
@@ -962,7 +967,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (count + chars) over synthesized 5-token lines, top-3/4-gram
         # occupancy over the raw tokens — all zero-shuffle
         from paperslicer_spark.operators.curation import repetition_stats
-        docs = _t(spark, sf, "documents").where(F.trim("text") != "")
+        # widen before the synth projection (same rationale as x52)
+        docs = TS.widen_undersplit(
+            _t(spark, sf, "documents").where(F.trim("text") != ""))
         fives = TS.bind(
             F.split(F.trim(F.col("text")), r"\s+"),
             lambda t: F.transform(

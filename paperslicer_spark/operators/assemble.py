@@ -104,8 +104,16 @@ def assemble_documents(turns: DataFrame, salt_blocks: int = 0,
 
     if skew_threshold:
         block = salt_blocks if salt_blocks and salt_blocks > 0 else skew_threshold
+        # Skew probe over RAW turns, not the text-filtered view: the
+        # routing decision doesn't change the output (salted and direct
+        # paths produce identical payloads — parity-tested), and raw
+        # count >= non-empty count so routing stays conservative. The
+        # win: this pass prunes to a conv_id-ONLY parquet scan instead
+        # of decompressing every payload byte a second time just to
+        # evaluate the length(text) > 0 filter (guide §6: check
+        # ReadSchema; the count pass read [conv_id, text] before).
         skewed_ids = (
-            t.groupBy("conv_id").agg(F.count("*").alias("_n"))
+            turns.groupBy("conv_id").agg(F.count("*").alias("_n"))
             .where(F.col("_n") > skew_threshold)
             .select("conv_id", F.lit(True).alias("_skew"))
         )

@@ -211,6 +211,10 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
     Chunks past the cap are dropped (the doc is truncated, not
     errored — chunking an outlier's head is the usual intent).
     """
+    # CPU-heavy tokenizing map: widen an under-split batch input to
+    # session parallelism (gopher_quality precedent; no-op when
+    # well-split or streaming)
+    df = widen_undersplit(df)
     assert 0 < overlap < chunk_tokens
     stride = chunk_tokens - overlap
     toks = tokens(F.lower(F.col(text_col)))
@@ -293,6 +297,10 @@ def distinctive_terms(df: DataFrame, id_col: str, text_col: str,
     the df relation is vocabulary-sized — broadcast or shuffle join is
     AQE's size-based call); final top-k is a per-doc window.
     """
+    # CPU-heavy tokenizing map: widen an under-split batch input to
+    # session parallelism (gopher_quality precedent; no-op when
+    # well-split or streaming)
+    df = widen_undersplit(df)
     from pyspark.sql import Window
 
     tok = (
@@ -337,6 +345,10 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
     exists to crush. At 10^12 rows the reassembly shuffle moves only
     KEPT paragraphs (duplicates die before it).
     """
+    # CPU-heavy tokenizing map: widen an under-split batch input to
+    # session parallelism (gopher_quality precedent; no-op when
+    # well-split or streaming)
+    df = widen_undersplit(df)
     from pyspark.sql import Window
 
     paras = (
@@ -403,6 +415,10 @@ def boilerplate_strip(df: DataFrame, id_col: str, text_col: str,
     ``groupBy(doc)``.  Worst skew on the hash side is the most common
     template line — exactly the row group the anti-join deletes.
     """
+    # CPU-heavy tokenizing map: widen an under-split batch input to
+    # session parallelism (gopher_quality precedent; no-op when
+    # well-split or streaming)
+    df = widen_undersplit(df)
     g = (F.col(group_col) if group_col else F.lit("")).alias("_g")
     lines = (
         df.select(F.col(id_col), g, F.posexplode(
@@ -835,8 +851,12 @@ def c4_line_filter(df: DataFrame, id_col: str, text_col: str,
     higher-order map on the base scan — split, per-line predicate
     inside ``F.filter`` (each predicate term reads only the lambda
     element, so the no-CSE-in-HOF trap does not apply), rejoin.
-    Stateless → streams unchanged.
+    Stateless → streams unchanged. CPU-heavy per-row map → widen an
+    under-split batch input to session parallelism (gopher_quality
+    precedent; no-op on well-split inputs and streaming).
     """
+    df = widen_undersplit(df)
+
     def _line_keep(line):
         t = F.trim(line)
         keep = F.size(F.split(t, WS)) >= F.lit(min_words)
@@ -901,6 +921,10 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str,
     aggregates on the row, n-gram occupancy from the sorted-array
     max-run pass — no (doc, ngram) shuffle, scales like a scan.
     """
+    # CPU-heavy tokenizing map: widen an under-split batch input to
+    # session parallelism (gopher_quality precedent; no-op when
+    # well-split or streaming)
+    df = widen_undersplit(df)
     def _char_sum(arr):
         return F.aggregate(
             arr, F.lit(0).cast("bigint"),
@@ -977,6 +1001,10 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
     model, cf. the x15 frozen-centroid pattern) and run only the
     scoring pass per corpus sweep.
     """
+    # CPU-heavy tokenizing map: widen an under-split batch input to
+    # session parallelism (gopher_quality precedent; no-op when
+    # well-split or streaming)
+    df = widen_undersplit(df)
     toks = df.where(F.trim(F.col(text_col)) != "") \
         .select(F.col(id_col).alias("doc"),
                 F.explode(tokens(F.lower(F.col(text_col))))
@@ -1073,6 +1101,10 @@ def hashed_classifier_score(df: DataFrame, id_col: str, text_col: str,
     exploded tokens + one groupBy(doc) shuffle); the two paths are
     equality-tested.
     """
+    # CPU-heavy tokenizing map: widen an under-split batch input to
+    # session parallelism (gopher_quality precedent; no-op when
+    # well-split or streaming)
+    df = widen_undersplit(df)
     def bucket_of(tok):
         return F.pmod(md5_bigint(tok, hex_chars=7), F.lit(dim))
 
@@ -1150,6 +1182,10 @@ def dsir_weights(df: DataFrame, target: DataFrame, id_col: str,
     groupBy(doc). The target corpus is typically tiny (Wikipedia-like
     seed) — its scan cost is the floor.
     """
+    # CPU-heavy tokenizing map: widen an under-split batch input to
+    # session parallelism (gopher_quality precedent; no-op when
+    # well-split or streaming)
+    df = widen_undersplit(df)
     def grams_of(dfin):
         t = tokens(F.lower(F.col(text_col)))
         def build(tk):
@@ -1243,6 +1279,10 @@ def vocab_coverage(df: DataFrame, text_col: str,
     sort; the cumulative window runs on the V-row result (single tiny
     partition by construction, V small by contract).
     """
+    # CPU-heavy tokenizing map: widen an under-split batch input to
+    # session parallelism (gopher_quality precedent; no-op when
+    # well-split or streaming)
+    df = widen_undersplit(df)
     from pyspark.sql import Window
 
     toks = (
@@ -1344,6 +1384,10 @@ def bpe_pair_counts(df: DataFrame, text_col: str,
     corpus); the top-k cut is TakeOrderedAndProject (per-partition
     k-row heaps); the rank window sees only the k survivors.
     """
+    # CPU-heavy tokenizing map: widen an under-split batch input to
+    # session parallelism (gopher_quality precedent; no-op when
+    # well-split or streaming)
+    df = widen_undersplit(df)
     from pyspark.sql import Window
 
     vocab = (
@@ -1390,6 +1434,10 @@ def source_kl(df: DataFrame, source_col: str, text_col: str
     ``+ ln(N)`` constant computed from the final |sources|-row
     relation, so no global window ever sees the vocab relation.
     """
+    # CPU-heavy tokenizing map: widen an under-split batch input to
+    # session parallelism (gopher_quality precedent; no-op when
+    # well-split or streaming)
+    df = widen_undersplit(df)
     from pyspark.sql import Window
 
     sw = (
@@ -1439,6 +1487,10 @@ def cooccurrence_counts(df: DataFrame, text_col: str, window: int = 3,
     sort).  ``t`` is a materialized column attribute, so referencing
     it inside the nested lambdas is safe under the no-CSE rule.
     """
+    # CPU-heavy tokenizing map: widen an under-split batch input to
+    # session parallelism (gopher_quality precedent; no-op when
+    # well-split or streaming)
+    df = widen_undersplit(df)
     from pyspark.sql import Window
 
     assert window == 3, "LCM weights are fixed for window=3"
@@ -1481,6 +1533,10 @@ def ngram_diversity(df: DataFrame, source_col: str, text_col: str,
     grams collapse before the exchange; the per-source rollup then
     runs over the vocabulary-sized relation, never the corpus.
     """
+    # CPU-heavy tokenizing map: widen an under-split batch input to
+    # session parallelism (gopher_quality precedent; no-op when
+    # well-split or streaming)
+    df = widen_undersplit(df)
     grams = df.where(F.trim(F.col(text_col)) != "").select(
         F.col(source_col).alias("source"),
         F.explode(bind(

@@ -171,3 +171,30 @@ def test_rank_fusion_vs_python(spark):
     # output ordered by fused score desc (id tiebreak)
     keys = [(-v, i) for i, v in got]
     assert keys == sorted(keys)
+
+
+def test_rank_fusion_null_scores_and_ties(spark):
+    # Round-6: rank_fusion decomposes the global row_number into
+    # (count strictly greater) + per-score-partition row_number.
+    # NULL scores must still rank LAST (DESC NULLS LAST) with id
+    # tiebreaks, and heavy ties must match the global ordering.
+    from paperslicer_spark.operators.metrics import rank_fusion
+
+    rng = random.Random(91)
+    rows = [(i,
+             None if i % 7 == 0 else rng.randint(0, 3),   # heavy ties + nulls
+             rng.randint(0, 50))
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, a int, b int")
+    got = {r["id"]: r["rrf"] for r in
+           rank_fusion(df, "id", ["a", "b"], k=60).collect()}
+
+    def ranks(key):
+        # DESC NULLS LAST, id asc — the row_number total order
+        order = sorted(rows, key=lambda r: (key(r) is None,
+                                            -(key(r) or 0), r[0]))
+        return {r[0]: i + 1 for i, r in enumerate(order)}
+    ra, rb = ranks(lambda r: r[1]), ranks(lambda r: r[2])
+    ref = {i: round(1.0 / (60 + ra[i]) + 1.0 / (60 + rb[i]), 9)
+           for i, _, _ in rows}
+    assert got == ref
