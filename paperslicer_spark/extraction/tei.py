@@ -68,7 +68,15 @@ def normalize_space(text: str) -> str:
 def _txt(el: Optional[ET.Element]) -> str:
     if el is None:
         return ""
-    return normalize_space(" ".join(el.itertext()))
+    # single-pass equivalent of normalize_space(" ".join(itertext())):
+    # joining chunks with " " and then splitting on whitespace yields
+    # exactly the concatenation of each chunk's split() lists (the
+    # inserted separator only ever separates), so split per chunk and
+    # join once — no intermediate full-string build.
+    parts: List[str] = []
+    for t in el.itertext():
+        parts.extend(t.split())
+    return " ".join(parts)
 
 
 def _child(el: ET.Element, tag: str) -> Optional[ET.Element]:
@@ -93,7 +101,7 @@ class _Doc:
     sees the identical document."""
 
     __slots__ = ("root", "_parent", "_order", "_pb_pos", "_pb_page",
-                 "_zones")
+                 "_zones", "_has_pb", "_zone_surface")
 
     def __init__(self, root: ET.Element):
         self.root = root
@@ -102,6 +110,9 @@ class _Doc:
         self._pb_pos: Optional[List[int]] = None
         self._pb_page: Optional[List[Optional[int]]] = None
         self._zones: Optional[Dict[str, ET.Element]] = None
+        self._has_pb: Optional[bool] = None
+        self._zone_surface: Optional[
+            Dict[str, tuple[ET.Element, ET.Element]]] = None
 
     @property
     def parent(self) -> Dict[int, ET.Element]:
@@ -136,6 +147,13 @@ class _Doc:
 
     def nearest_preceding_page(self, el: ET.Element) -> Optional[int]:
         """Page number of the nearest preceding ``<pb n=...>`` milestone."""
+        if self._has_pb is None:
+            # cheap C-level probe: most documents have no <pb>
+            # milestones at all, and then no preceding page can exist —
+            # skip building the whole-document order index
+            self._has_pb = next(iter(self.root.iter(T_PB)), None) is not None
+        if not self._has_pb:
+            return None
         if self._order is None:
             self._build_order()
         i = self._order.get(id(el))
@@ -153,6 +171,22 @@ class _Doc:
                 for z in self.root.iter(T_ZONE) if z.get(XML_ID)
             }
         return self._zones.get(zone_id)
+
+    def zone_in_parent(self, zone_id: str
+                       ) -> Optional[tuple[ET.Element, ET.Element]]:
+        """(zone, parent) for a ``xml:id``-ed zone — one pass storing
+        only zones (last id wins, like the ``zone`` map), instead of a
+        whole-document parent dict for the facs-resolution path."""
+        if self._zone_surface is None:
+            zs: Dict[str, tuple[ET.Element, ET.Element]] = {}
+            for el in self.root.iter():
+                for c in el:
+                    if c.tag == T_ZONE:
+                        zid = c.get(XML_ID)
+                        if zid:
+                            zs[zid] = (c, el)
+            self._zone_surface = zs
+        return self._zone_surface.get(zone_id)
 
 
 _COORD_SPLIT = re.compile(r"[;,\s]+")
@@ -193,11 +227,11 @@ def coords_from_facs(doc: _Doc, el: ET.Element) -> Optional[str]:
         facs = el.get("facs")
         if not facs or not facs.startswith("#"):
             return None
-        zone = doc.zone(facs[1:])
-        if zone is None:
+        pair = doc.zone_in_parent(facs[1:])
+        if pair is None:
             return None
-        surface = doc.parent.get(id(zone))
-        if surface is None or not surface.tag.endswith("surface"):
+        zone, surface = pair
+        if not surface.tag.endswith("surface"):
             return None
         page_n = surface.get("n")
         page = int(str(page_n)) if page_n and str(page_n).strip().isdigit() else None
@@ -217,6 +251,9 @@ def coords_from_facs(doc: _Doc, el: ET.Element) -> Optional[str]:
 _FIG_LABEL = re.compile(r"(?i)\bfig(?:ure)?\s*([A-Za-z0-9IVXLC]+)")
 _TAB_LABEL = re.compile(r"(?i)\btab(?:le)?\s*([A-Za-z0-9IVXLC]+)")
 _INT_TOKEN = re.compile(r"\d{1,3}")
+# fallback-B "Table 2. ..." paragraph probe — precompiled: it runs on
+# EVERY paragraph of every document
+_TABLE_PARA = re.compile(r"(?is)^table\s+([A-Za-z0-9IVXLC]+)\s*[:\.\-]\s*(.+)")
 
 
 def normalize_label(kind: str, raw_label: Optional[str], head_text: str,
@@ -428,7 +465,10 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
                 t = _txt(node)
                 if t:
                     content_texts.append(t)
-        body_text = normalize_space("\n\n".join(content_texts))
+        # content_texts are _txt outputs: already whitespace-normalized
+        # and non-empty, so normalize_space("\n\n".join(...)) reduces
+        # to a plain space join — same bytes, one pass instead of three
+        body_text = " ".join(content_texts)
         if not body_text:
             continue
         if key in CANON:
@@ -583,7 +623,7 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
         t = _txt(p)
         if not t:
             continue
-        m = re.match(r"(?is)^table\s+([A-Za-z0-9IVXLC]+)\s*[:\.\-]\s*(.+)", t.strip())
+        m = _TABLE_PARA.match(t.strip())
         if not m:
             continue
         label = f"Table {m.group(1)}"

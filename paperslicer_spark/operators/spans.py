@@ -67,8 +67,12 @@ def turn_units(fragment: str) -> tuple[str, List[dict], bool]:
     units: List[dict] = []
     cursor = 0
 
-    def visit(el, parent, div_label: Optional[str]) -> None:
-        nonlocal cursor
+    # explicit-stack preorder DFS (identical visit order to
+    # ``root.iter()``): a recursive closure measured ~25% of the parse
+    # in Python call overhead alone
+    stack = [(root, None, None)]
+    while stack:
+        el, parent, div_label = stack.pop()
         tag = el.tag
         kind = None
         label = None
@@ -107,10 +111,8 @@ def turn_units(fragment: str) -> tuple[str, List[dict], bool]:
             head = el.find(T_HEAD)
             div_label = (canonical_section_name(_txt(head)) or None) \
                 if head is not None else None
-        for c in el:
-            visit(c, el, div_label)
-
-    visit(root, None, None)
+        if len(el):
+            stack.extend([(c, el, div_label) for c in reversed(el)])
     return clean, units, True
 
 
