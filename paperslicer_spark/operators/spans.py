@@ -63,7 +63,7 @@ def turn_units(fragment: str) -> tuple[str, List[dict], bool]:
         # non-XML payload turn: clean = whitespace-collapsed raw text
         return normalize_space(fragment), [], False
 
-    clean = normalize_space(" ".join(root.itertext()))
+    clean = _txt(root)  # == normalize_space(" ".join(itertext())), one pass
     units: List[dict] = []
     cursor = 0
 
