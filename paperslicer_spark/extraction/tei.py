@@ -52,6 +52,11 @@ T_TABLE = T("table")
 T_FIGDESC = T("figDesc")
 T_PB = T("pb")
 T_ZONE = T("zone")
+T_GRAPHIC = T("graphic")
+T_IDNO = T("idno")
+T_DATE = T("date")
+T_ORGNAME = T("orgName")
+T_ADDRESS = T("address")
 _P_AB = (T_P, T_AB)
 
 
@@ -307,15 +312,17 @@ def _extract_affiliation(author_el: ET.Element) -> Optional[str]:
             seen_local.add(key)
             parts.append(norm)
 
-        for org in _desc(aff, "orgName"):
+        # direct el.iter(tag): container tags differ from the searched
+        # tags here, so _desc's self-exclusion list build is unneeded
+        for org in aff.iter(T_ORGNAME):
             add_part(_txt(org))
-        for addr in _desc(aff, "address"):
+        for addr in aff.iter(T_ADDRESS):
             for node in addr.iter():
                 if node is addr or node.tag == T("label"):
                     continue
                 add_part(_txt(node))
         if not parts:
-            add_part(normalize_space(" ".join(aff.itertext())))
+            add_part(_txt(aff))
         if parts:
             aff_texts.append(", ".join(parts))
 
@@ -533,9 +540,9 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
         head_text = _txt(_child(fig, "head"))
         caption_text = _txt(_child(fig, "figDesc")) or head_text
         coords = None
-        graphics = _desc(fig, "graphic")
-        if graphics:
-            coords = coords_with_page(doc, fig, graphics[0].get("coords"))
+        g0 = next(fig.iter(T_GRAPHIC), None)  # first descendant graphic
+        if g0 is not None:
+            coords = coords_with_page(doc, fig, g0.get("coords"))
         if not coords:
             coords = coords_from_facs(doc, fig)
 
@@ -568,9 +575,9 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
         caption = head_text
         label = normalize_label("table", label_raw, head_text, caption)
         coords = None
-        graphics = _desc(tab, "graphic")
-        if graphics:
-            coords = coords_with_page(doc, tab, graphics[0].get("coords"))
+        g0 = next(tab.iter(T_GRAPHIC), None)
+        if g0 is not None:
+            coords = coords_with_page(doc, tab, g0.get("coords"))
         if not coords:
             coords = coords_from_facs(doc, tab)
         if caption or label:
@@ -656,12 +663,12 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
             if mono is not None:
                 title_r = _txt(_child(mono, "title"))
         doi_r = ""
-        for idno in _desc(bibl, "idno"):
+        for idno in bibl.iter(T_IDNO):  # lazy: stops at the first DOI
             if idno.get("type") == "DOI":
                 doi_r = _txt(idno)
                 break
         year = ""
-        for d in _desc(bibl, "date"):
+        for d in bibl.iter(T_DATE):
             if d.get("type") == "published":
                 year = _txt(d)
                 break
@@ -671,7 +678,7 @@ def parse_tei(tei_xml: str | bytes, source_path: str = "") -> Dict[str, Any]:
                 nm = _txt(a)
                 if nm:
                     auths.append(nm)
-        citation = normalize_space(" ".join(bibl.itertext()))
+        citation = _txt(bibl)  # == normalize_space over the joined itertext
         entry: Dict[str, Any] = {"index": idx}
         if citation:
             entry["text"] = citation
