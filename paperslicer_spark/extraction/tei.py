@@ -171,26 +171,41 @@ class _Doc:
 
     def zone(self, zone_id: str) -> Optional[ET.Element]:
         if self._zones is None:
-            self._zones = {
-                z.get(XML_ID): z
-                for z in self.root.iter(T_ZONE) if z.get(XML_ID)
-            }
+            zs: Dict[str, ET.Element] = {}
+            for z in self.root.iter(T_ZONE):
+                zid = z.get(XML_ID)
+                if zid:
+                    zs.setdefault(zid, z)
+            self._zones = zs
         return self._zones.get(zone_id)
 
     def zone_in_parent(self, zone_id: str
-                       ) -> Optional[tuple[ET.Element, ET.Element]]:
-        """(zone, parent) for a ``xml:id``-ed zone — one pass storing
-        only zones (last id wins, like the ``zone`` map), instead of a
-        whole-document parent dict for the facs-resolution path."""
+                       ) -> Optional[tuple[ET.Element,
+                                           Optional[ET.Element]]]:
+        """(zone, parent) for a ``xml:id``-ed zone, resolving
+        duplicate ids the way the reference does: ``xpath(...)[0]``,
+        i.e. the FIRST zone in document order wins
+        (``grobid/parser.py:187-190``; the previous last-wins dict
+        comprehension was a latent divergence, caught by
+        tests/test_tei_parser.py::test_duplicate_zone_id_resolution_
+        parity). Parents are looked up for just the winning zones, so
+        the facs path avoids the whole-document parent dict."""
         if self._zone_surface is None:
-            zs: Dict[str, tuple[ET.Element, ET.Element]] = {}
-            for el in self.root.iter():
-                for c in el:
-                    if c.tag == T_ZONE:
-                        zid = c.get(XML_ID)
-                        if zid:
-                            zs[zid] = (c, el)
-            self._zone_surface = zs
+            winners: Dict[str, ET.Element] = {}
+            for z in self.root.iter(T_ZONE):
+                zid = z.get(XML_ID)
+                if zid:
+                    winners.setdefault(zid, z)
+            par: Dict[int, ET.Element] = {}
+            if winners:
+                need = {id(z) for z in winners.values()}
+                for el in self.root.iter():
+                    for c in el:
+                        if id(c) in need:
+                            par[id(c)] = el
+            self._zone_surface = {
+                zid: (z, par.get(id(z))) for zid, z in winners.items()
+            }
         return self._zone_surface.get(zone_id)
 
 
@@ -236,7 +251,7 @@ def coords_from_facs(doc: _Doc, el: ET.Element) -> Optional[str]:
         if pair is None:
             return None
         zone, surface = pair
-        if not surface.tag.endswith("surface"):
+        if surface is None or not surface.tag.endswith("surface"):
             return None
         page_n = surface.get("n")
         page = int(str(page_n)) if page_n and str(page_n).strip().isdigit() else None

@@ -756,9 +756,6 @@ def substring_dedup(df: DataFrame, id_col: str, text_col: str,
 
     Returns (doc, text_clean, n_spans, chars_removed).
     """
-    # widen an under-split batch input before the tokenizing map
-    # (no-op when well-split or streaming)
-    df = widen_undersplit(df)
     L = min_length
     W = Window
     doc = F.col(id_col)

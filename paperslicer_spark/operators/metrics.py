@@ -652,9 +652,16 @@ def rank_fusion(df: DataFrame, id_col: str, score_cols: list[str],
     cumulative-preceding sum over the distinct-score relation gives
     the NULL group every non-NULL count as its base). The corpus
     relation is hash-exchanged on the score (parallel window, reused
-    by the null-safe base join); the only tiny sort is the cumulative
-    window over the |distinct scores| base relation. Degenerate
-    all-one-score signals would hot-spot one partition — the same
+    by the null-safe base join); the remaining single-partition sort
+    is the cumulative window over the |distinct scores| COUNTS
+    relation — (score, count) pairs only. For bounded-cardinality
+    signals (ranks, buckets, integer priors — the registered x101
+    shape) that relation is tiny; for a continuous corpus-cardinality
+    score it is still |distinct| narrow rows through one partition —
+    ~two columns instead of the previous full-width corpus sort, but
+    not parallel: quantize/bucket continuous signals (or pre-top-N
+    the candidates) before fusing at corpus scale. Degenerate
+    all-one-score signals hot-spot one window partition — the same
     rows that previously serialized one global sort.
     """
     from functools import reduce

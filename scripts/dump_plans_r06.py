@@ -67,7 +67,6 @@ def main():
     for name in BENCH_QUERIES + extra:
         targets[name] = lambda n=name: qs[n](spark, sf_dir)
 
-    only = set(extra) if extra and extra[0].startswith("only:") else None
     for name, fn in targets.items():
         try:
             plan = fn()._jdf.queryExecution().explainString(

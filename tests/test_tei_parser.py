@@ -202,3 +202,36 @@ def test_corpus_parity_skewed(reference_modules):
     ref = ref_parser.tei_to_record(payload.encode("utf-8"), pdf_path="x").to_dict()
     mine = parse_tei(payload, source_path="x")
     assert json.dumps(mine, sort_keys=True) == json.dumps(ref, sort_keys=True)
+
+
+DUP_ZONE_TEI = """
+<TEI xmlns="http://www.tei-c.org/ns/1.0">
+  <teiHeader><fileDesc><titleStmt><title>Dup zones</title></titleStmt>
+  </fileDesc></teiHeader>
+  <facsimile>
+    <surface xml:id="s3" n="3" ulx="0" uly="0" lrx="600" lry="800">
+      <graphic url="p3.png"/>
+      <zone xml:id="zX" ulx="10.0" uly="20.0" lrx="110.0" lry="220.0"/>
+    </surface>
+    <surface xml:id="s4" n="4" ulx="0" uly="0" lrx="600" lry="800">
+      <zone xml:id="zX" ulx="30.0" uly="40.0" lrx="230.0" lry="440.0"/>
+    </surface>
+  </facsimile>
+  <text><body>
+    <div><head>Results</head><p>Body text.</p></div>
+    <figure facs="#zX"><label>1</label><figDesc>Dup zone figure.</figDesc></figure>
+  </body></text>
+</TEI>
+"""
+
+
+def test_duplicate_zone_id_resolution_parity(reference_modules):
+    # Round-6: zone_in_parent resolves duplicate xml:id zones with the
+    # SAME last-in-document-order winner as the original zones map —
+    # compare byte-exactly against the reference on a payload where a
+    # parent-preorder child scan would pick the other zone.
+    ref_parser, _, _ = reference_modules
+    ref = ref_parser.tei_to_record(DUP_ZONE_TEI.encode("utf-8"),
+                                   pdf_path="dupzone").to_dict()
+    mine = parse_tei(DUP_ZONE_TEI, source_path="dupzone")
+    assert json.dumps(mine, sort_keys=True) == json.dumps(ref, sort_keys=True)
